@@ -1,0 +1,174 @@
+"""Text kernels: normalization, tokens, language-ID, quality, fingerprints.
+
+The reference's text handling is limited to punctuation-split tokenization
+(``utils/ImageSearchIndexingUtil.java:296-310``), mojibake repair
+(``:247-287``) and the caption trim (``processors/
+ImageInformationExtractor.java:779-794``); Solr does the real analysis
+downstream (``managed-schema:400-427``). This module carries those kernels
+plus the text-analysis operators a large-scale training-data pipeline needs
+(language-ID, quality scoring, token counting, fingerprinting) — all as
+built-in Column expressions (JVM-side, codegen'd, SQL-portable). No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_CAPTION_SIZE = 250  # ImageInformationExtractor.java:59 MAX_PARENT_CAPTION_SIZE
+
+# Tiny built-in stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small: the point is a deterministic, broadcast-free,
+# JVM-evaluable heuristic, not a real LID model.
+_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"],
+    "pt": ["de", "que", "e", "o", "da", "do", "em", "um", "uma", "para", "com", "os"],
+    "es": ["de", "la", "que", "el", "en", "y", "los", "del", "se", "las", "por", "un"],
+    "fr": ["de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que", "est"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf"],
+}
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse whitespace — the dedup/fingerprint canonical form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def word_tokens(text: Column) -> Column:
+    """array<string> of lowercase word tokens (non-empty, whitespace/punct split)."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish subword count estimate: word-piece regex occurrences.
+
+    Counts runs of letters (split every ~4 chars), digits, and punctuation
+    marks — a deterministic stand-in for a real tokenizer's token count.
+    """
+    pieces = F.regexp_count(text, F.lit(r"\p{L}{1,4}|\p{N}{1,3}|[^\p{L}\p{N}\s]"))
+    return pieces.cast("int")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID over a tiny stopword table.
+
+    Scores each language by distinct-stopword hits in the token set; CJK
+    character presence short-circuits to 'zh'. Ties broken by language code
+    (deterministic). Returns 'und' when nothing matches.
+    """
+    toks = word_tokens(text)
+    # struct ordering = (score, -index, lang): max ⇒ highest score, ties to
+    # the lexicographically-smallest language code (lowest sorted index).
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("score"),
+                F.lit(-i).alias("negidx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, ws) in enumerate(sorted(_STOPWORDS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    has_cjk = text.rlike(r"[一-鿿]")
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Quality-scoring component metrics (each a Column, 0..1-ish)."""
+    n_chars = F.length(text)
+    n_alpha = F.regexp_count(text, F.lit(r"\p{L}"))
+    n_punct = F.regexp_count(text, F.lit(r"[!-/:-@\[-`{-~]"))
+    toks = word_tokens(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.array_intersect(
+            toks,
+            F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in sorted(set(ws))]),
+        )
+    )
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    return {
+        "alpha_ratio": safe(n_alpha, n_chars),
+        "punct_ratio": safe(n_punct, n_chars),
+        "stopword_ratio": safe(n_stop, n_tokens),
+        "mean_word_len": safe(n_chars, n_tokens),
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: alpha-heavy, some stopwords, sane length."""
+    m = quality_metrics(text)
+    length_score = F.least(m["n_tokens"].cast("double") / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * m["alpha_ratio"]
+        + F.lit(0.3) * F.least(m["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.2) * length_score
+        + F.lit(0.1) * (F.lit(1.0) - F.least(m["punct_ratio"] * 5, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Exact-dedup fingerprint: MD5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Content-defined fingerprint: xxhash64 of normalized text (64-bit)."""
+    return F.xxhash64(normalize_text(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """array<string> of word k-shingles (space-joined), for MinHash/Jaccard."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """array<string> of character n-grams of the normalized text."""
+    norm = normalize_text(text)
+    ln = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0)))
+    return F.when(ln >= n, F.transform(idx, lambda i: F.substring(norm, i, n))).otherwise(
+        F.when(ln > 0, F.array(norm)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def trim_caption(caption: Column) -> Column:
+    """Reference caption trim (ImageInformationExtractor.java:779-794).
+
+    If longer than 250 chars: head = text[0:lastSpace(text[:125])] (125 when
+    no space), tail = text from the first space at/after len-125; joined by
+    '\\n', each side trimmed.
+    """
+    half = MAX_CAPTION_SIZE // 2
+    too_long = F.length(caption) > MAX_CAPTION_SIZE
+    head_raw = F.substring(caption, 1, half)
+    # position of last space within the first 125 chars (0 when none)
+    last_space = F.length(head_raw) - F.position(F.lit(" "), F.reverse(head_raw))
+    last_space = F.when(F.position(F.lit(" "), F.reverse(head_raw)) == 0, F.lit(half)).otherwise(last_space)
+    head = F.trim(F.substring(caption, 1, last_space))
+    tail_start = F.length(caption) - F.lit(half) + F.lit(1)
+    tail_raw = F.substring(caption, tail_start, F.lit(2**30))
+    first_space = F.position(F.lit(" "), tail_raw)  # 1-based, 0 if none
+    tail = F.trim(
+        F.substring(caption, tail_start + first_space - F.lit(1), F.lit(2**30))
+    )
+    return F.when(too_long, F.trim(F.concat(head, F.lit("\n"), tail))).otherwise(caption)
