@@ -1,0 +1,183 @@
+"""Outlink / media-ref extraction from interleaved span sequences.
+
+Re-expresses the reference's HTML extraction pipeline
+(``processors/ImageInformationExtractor.java``) over the input_hint span
+model ``spans: array<struct<kind,text,media_ref,offset>>``:
+
+- MIME/kind dispatch (P1, ``:191-236``)        → ``kind`` predicates
+- per-page image cap (P4, ``:71,531-535``)     → ``F.slice`` before explode
+- <a>-extension gate (P3, ``:43,653-664``)     → extension ``isin`` filter
+- CSS-vs-parsed anti-join (J4, ``:596-613``)   → per-(doc,url) window mark
+- inline data:image → ``hash:`` URL (F8, ``:247-271``) → ``md5`` + prefix
+- >10000-char URL drop + count (``:64,483-492``)
+- caption = nearest non-empty text span by offset (F11, ``:672-816``):
+  an immediate neighbor (|Δoffset| = 1) wins outright (parent-walk analog,
+  ties toward the earlier span); otherwise the nearest non-empty text on
+  both sides joined by ``'\\n'`` (sibling-fallback analog, ``:758-788``),
+  then the 250-char head+tail trim (``:779-794``).
+
+Everything is built-in Column expressions — single scan, no UDFs, no
+shuffle except the per-doc window sort (partition key ``doc_id``), which at
+100 TB stays healthy because doc_id is high-cardinality and spans/doc are
+capped (P4). Dropped rows carry a ``drop_reason`` instead of disappearing,
+so the round driver can emit the reference's counters (A12) from the same
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import urls as U
+
+# ImageInformationExtractor.java:43 IMAGE_FILE_EXTENSIONS
+IMAGE_FILE_EXTENSIONS = ["jpg", "jpeg", "png", "tif", "tiff", "gif", "svg", "webp", "bmp", "ico"]
+MAX_IMAGE_IN_HTML = 10_000  # ImageInformationExtractor.java:71
+MAX_URL_LENGTH = 10_000  # ImageInformationExtractor.java:64 MAX_IMAGE_FIELD_SIZE
+
+
+def explode_spans(docs: DataFrame, meta: DataFrame, spans_cap: int = MAX_IMAGE_IN_HTML) -> DataFrame:
+    """documents ⋈ docmeta → one row per span, with per-doc caption context.
+
+    Returns every span (text and media); media rows carry ``caption`` from
+    the nearest-non-empty-text scan. The join with docmeta broadcasts when
+    small; at scale both sides are co-partitioned on doc_id by the writer.
+    """
+    capped = docs.select(
+        "doc_id", F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw")
+    )
+    exploded = (
+        capped.join(meta, "doc_id")
+        .select(
+            "doc_id",
+            "base_url",
+            "fetch_ts",
+            "n_spans_raw",
+            F.posexplode("spans").alias("span_idx", "span"),
+        )
+        .select(
+            "doc_id",
+            "base_url",
+            "fetch_ts",
+            "n_spans_raw",
+            "span_idx",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+    is_text = (F.col("kind") == "text") & (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+    txt = F.when(is_text, F.struct(F.col("offset"), F.trim("text").alias("text")))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    prev_t = F.last(txt, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    next_t = F.first(txt, ignorenulls=True).over(w.rowsBetween(1, Window.unboundedFollowing))
+    return exploded.withColumn("prev_text", prev_t).withColumn("next_text", next_t)
+
+
+def _caption() -> "F.Column":
+    """Nearest-non-empty-text caption with sibling fallback (F11 analog)."""
+    off = F.col("offset")
+    pd_ = off - F.col("prev_text.offset")
+    nd = F.col("next_text.offset") - off
+    prev_txt = F.col("prev_text.text")
+    next_txt = F.col("next_text.text")
+    adjacent_prev = F.col("prev_text").isNotNull() & (pd_ == 1)
+    adjacent_next = F.col("next_text").isNotNull() & (nd == 1)
+    joined = TX.java_trim(
+        F.concat_ws("\n", *[F.coalesce(c, F.lit("")) for c in (prev_txt, next_txt)])
+    )
+    cap = (
+        F.when(adjacent_prev, prev_txt)  # tie (both adjacent) → earlier span
+        .when(adjacent_next, next_txt)
+        .otherwise(joined)
+    )
+    return TX.trim_caption(cap)
+
+
+def extract_refs(
+    docs: DataFrame,
+    meta: DataFrame,
+    spans_cap: int = MAX_IMAGE_IN_HTML,
+    max_url_length: int = MAX_URL_LENGTH,
+) -> DataFrame:
+    """Media-ref rows with canonical URL, SURT, hash, host, caption, tokens.
+
+    Output includes ``drop_reason`` (null = valid): 'not_media', 'a_not_image',
+    'css_already_parsed' (J4), 'url_too_long', 'empty_ref'. Valid rows are
+    ``where(drop_reason IS NULL)`` — kept in-frame so one scan also feeds
+    the counters aggregation (reference A12).
+    """
+    spans = explode_spans(docs, meta, spans_cap)
+
+    is_media = F.col("kind").isin("img", "a", "css")
+    resolved = U.resolve_url(F.col("base_url"), F.col("media_ref"))
+    is_data = F.col("media_ref").startswith("data:")
+    # F8: inline data:image → synthetic hash: URL keyed by md5 of the data URL
+    ref_url = F.when(is_data, F.concat(F.lit("hash:"), F.md5(F.col("media_ref")))).otherwise(resolved)
+    ext = F.lower(F.regexp_extract(ref_url, r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
+
+    enriched = spans.withColumn("ref_url", ref_url).withColumn("ext", ext)
+
+    # J4: a css-found URL is dropped when the same resolved URL was already
+    # parsed from an img/a span of the same document.
+    w_doc_url = Window.partitionBy("doc_id", "ref_url")
+    parsed_elsewhere = F.max(
+        F.when(F.col("kind").isin("img", "a"), F.lit(1)).otherwise(F.lit(0))
+    ).over(w_doc_url)
+
+    drop_reason = (
+        F.when(~is_media, F.lit("not_media"))
+        .when(F.col("media_ref").isNull() | (F.trim("media_ref") == ""), F.lit("empty_ref"))
+        .when(F.length("ref_url") > max_url_length, F.lit("url_too_long"))
+        .when((F.col("kind") == "a") & ~ext.isin(IMAGE_FILE_EXTENSIONS), F.lit("a_not_image"))
+        .when((F.col("kind") == "css") & (parsed_elsewhere == 1), F.lit("css_already_parsed"))
+    )
+
+    out = (
+        enriched.withColumn("drop_reason", drop_reason)
+        .withColumn("surt", U.surt(F.col("ref_url")))
+        .withColumn("url_hash", U.url_hash(F.col("surt")))
+        .withColumn("host", U.url_host(F.col("ref_url")))
+        .withColumn("caption", _caption())
+        .withColumn("page_url", F.col("base_url"))
+        .withColumn("page_surt", U.surt(F.col("base_url")))
+        .withColumn("page_host", U.url_host(F.col("base_url")))
+        .withColumn("page_ts", U.parse_archive_ts(F.col("fetch_ts")))
+        .withColumn("img_src_tokens", U.url_tokens(F.col("ref_url")))
+        .withColumn("img_filename_tokens", U.filename_tokens(F.col("ref_url")))
+        .withColumn("page_url_tokens", U.url_tokens(F.col("base_url")))
+    )
+    return out.select(
+        "doc_id",
+        "kind",
+        "span_idx",
+        "offset",
+        "ref_url",
+        "surt",
+        "url_hash",
+        "host",
+        "ext",
+        "caption",
+        "page_url",
+        "page_surt",
+        "page_host",
+        "page_ts",
+        "fetch_ts",
+        "img_src_tokens",
+        "img_filename_tokens",
+        "page_url_tokens",
+        "drop_reason",
+    )
+
+
+def extraction_counters(refs: DataFrame) -> DataFrame:
+    """Reference-counter analog (A12): one row per drop_reason + totals."""
+    return (
+        refs.groupBy(F.coalesce("drop_reason", F.lit("valid_ref")).alias("counter"))
+        .agg(F.count("*").alias("value"))
+        .orderBy("counter")
+    )

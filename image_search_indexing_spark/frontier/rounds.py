@@ -1,0 +1,271 @@
+"""The frontier round driver: iterative batch loop with resumable checkpoints.
+
+One round (the reference's two chained MR jobs become one DataFrame plan,
+SURVEY.md §7.0):
+
+  docs slice → extract refs (P1-P5, F1-F14) → robots filter → within-round
+  dedup (deterministic champion, A5-A7 order) → merge with carried-over
+  ``pending`` queue → seen-set filter (Bloom prefilter + exact confirm)
+  → per-host politeness top-k (skew-salted two-phase window) → fetch batch
+  → append scheduled URLs to ``seen`` + OR-merge their bits into the
+  per-bucket Blooms → checkpoint (tables + counters + lineage, atomic).
+
+Determinism: every emission point uses a total order (priority, page_ts,
+url-length, url, doc_id, offset) — the reference's champion tie-break
+pattern (``FullImageMetadata.java:171-186``, ``ImageData.java:255-282``) —
+so fetch batches are bit-identical at local[8] and local[32], and a killed
+run resumed from the last snapshot replays the remaining rounds
+bit-identically (no wall-clock, no RNG anywhere in the loop).
+
+The round slice assignment (``pmod(xxhash64(doc_id), n_rounds)``) stands in
+for "fetch results arriving between rounds": a closed-world simulation over
+the input corpus, as the sandbox has no network.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+from . import extract, politeness as pol, seen as seenmod
+
+CAND_COLS = [
+    "url_hash",
+    "ref_url",
+    "surt",
+    "host",
+    "kind",
+    "priority",
+    "page_ts",
+    "doc_id",
+    "offset",
+    "h1",
+    "h2",
+    "bucket",
+]
+
+
+@dataclass
+class FrontierConfig:
+    n_rounds: int = 4
+    n_buckets: int = 32
+    n_salts: int = 8
+    default_budget: int = 5
+    default_priority: int = 9
+    bits_per_key: int = 12
+    expected_per_bucket: int = 4096  # Bloom sizing: fixed m per run → OR-mergeable
+    spans_cap: int = extract.MAX_IMAGE_IN_HTML
+    use_bloom: bool = True
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def _dedup_candidates(cand: DataFrame) -> DataFrame:
+    """One deterministic champion per url_hash (A5-A7 tie-break style)."""
+    ordk = F.struct(
+        F.col("priority"), F.col("page_ts"), F.length("ref_url"), F.col("ref_url"),
+        F.col("doc_id"), F.col("offset"),
+    )
+    return (
+        cand.groupBy("url_hash")
+        .agg(F.min_by(F.struct(*[c for c in CAND_COLS if c != "url_hash"]), ordk).alias("c"))
+        .select("url_hash", "c.*")
+    )
+
+
+class FrontierDriver:
+    def __init__(self, spark: SparkSession, workdir: str, cfg: FrontierConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or FrontierConfig()
+        self.catalog = Catalog(workdir)
+
+    # ---------------------------------------------------------------- helpers
+
+    def _candidates(self, docs: DataFrame, meta: DataFrame, seeds: DataFrame | None,
+                    robots: DataFrame | None) -> tuple[DataFrame, dict[str, int]]:
+        refs = extract.extract_refs(docs, meta, spans_cap=self.cfg.spans_cap)
+        refs = refs.persist()
+        counters = {
+            r["counter"]: r["value"] for r in extract.extraction_counters(refs).collect()
+        }
+        valid = refs.where(F.col("drop_reason").isNull())
+        valid = pol.robots_filter(valid, robots)
+        # seed priority per host (broadcast dim); unknown hosts get default
+        if seeds is not None:
+            host_prio = seeds.groupBy("host").agg(F.min("priority").alias("__prio"))
+            valid = valid.join(F.broadcast(host_prio), "host", "left")
+            prio = F.coalesce(F.col("__prio"), F.lit(self.cfg.default_priority))
+        else:
+            prio = F.lit(self.cfg.default_priority)
+        cand = (
+            valid.withColumn("priority", prio.cast("int"))
+            .withColumn("robots_ct", F.col("robots_blocked").cast("int"))
+        )
+        n_blocked = cand.agg(F.sum("robots_ct")).collect()[0][0] or 0
+        counters["robots_blocked"] = int(n_blocked)
+        cand = cand.where(~F.col("robots_blocked"))
+        cand = seenmod.with_hashes(cand, "url_hash", self.cfg.n_buckets).select(*CAND_COLS)
+        refs.unpersist()
+        return cand, counters
+
+    def _bloom_delta(self, newly_seen: DataFrame) -> DataFrame:
+        return seenmod.build_bloom_table(
+            newly_seen, self.cfg.n_buckets, self.cfg.bits_per_key, self.cfg.expected_per_bucket
+        )
+
+    @staticmethod
+    def _merge_blooms(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if old is None:
+            return delta
+        import numpy as np
+        import pandas as pd
+
+        def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = None
+            for buf in pdf["bits"]:
+                arr = np.frombuffer(buf, dtype=np.uint64)
+                bits = arr if bits is None else (bits | arr)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["bucket"].iloc[0])],
+                    "m": [int(pdf["m"].iloc[0])],
+                    "k": [int(pdf["k"].iloc[0])],
+                    "n_items": [int(pdf["n_items"].sum())],
+                    "bits": [bits.tobytes()],
+                }
+            )
+
+        return (
+            old.unionByName(delta)
+            .groupBy("bucket")
+            .applyInPandas(orfold, seenmod.BLOOM_SCHEMA)
+        )
+
+    # ------------------------------------------------------------------ rounds
+
+    def run_round(
+        self,
+        round_id: int,
+        docs: DataFrame,
+        meta: DataFrame,
+        seeds: DataFrame | None = None,
+        politeness_df: DataFrame | None = None,
+        robots: DataFrame | None = None,
+    ) -> dict[str, int]:
+        """Execute one frontier round and commit its checkpoint."""
+        spark, cfg, cat = self.spark, self.cfg, self.catalog
+        snap = cat.snapshot()
+        parent = snap["snapshot_id"] if snap else None
+        if snap is not None and snap["round"] >= round_id:
+            raise ValueError(f"round {round_id} already committed (snapshot {parent})")
+
+        seen = cat.read_table(spark, "seen", snap)
+        pending = cat.read_table(spark, "pending", snap)
+        bloom = cat.read_table(spark, "bloom", snap) if cfg.use_bloom else None
+
+        # 1. this round's arriving documents (closed-world fetch simulation)
+        rdocs = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_rounds)) == round_id)
+        cand, counters = self._candidates(rdocs, meta, seeds, robots)
+
+        # 2. merge with the carried-over queue, dedup deterministically
+        n_cand = cand.count()
+        n_pend_prev = pending.count() if pending is not None else 0
+        if pending is not None:
+            cand = cand.unionByName(pending.select(*CAND_COLS))
+        cand = _dedup_candidates(cand).persist()
+        n_queue = cand.count()
+
+        # 3. seen-set filter (bloom prefilter routes; exact join decides)
+        new_urls = seenmod.filter_new_urls(
+            spark, cand, seen, bloom, key="url_hash", n_buckets=cfg.n_buckets
+        )
+
+        # 4. politeness scheduling (skew-salted two-phase top-k)
+        scheduled = pol.schedule_round(
+            new_urls, politeness_df, cfg.default_budget, cfg.n_salts
+        ).persist()
+        n_sched = scheduled.count()
+
+        # 5. state updates: pending = new − scheduled; seen += scheduled
+        pending_next = new_urls.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        ).select(*CAND_COLS)
+        newly_seen = scheduled.select(
+            "url_hash", "surt", "ref_url", "host", "h1", "h2", "bucket"
+        ).withColumn("seen_round", F.lit(round_id))
+
+        tables: dict[str, list[str]] = dict((snap or {}).get("tables", {}))
+        batch_path = cat.write_table(
+            scheduled.select(
+                "url_hash", "ref_url", "surt", "host", "kind", "priority", "page_ts",
+                "doc_id", "offset", "queue_pos", "fetch_delay_ms",
+            ).sortWithinPartitions("host", "queue_pos"),
+            f"fetch_batch_{round_id}", round_id,
+        )
+        tables[f"fetch_batch_{round_id}"] = [batch_path]
+        seen_path = cat.write_table(newly_seen, "seen", round_id, partition_by=["bucket"])
+        tables["seen"] = tables.get("seen", []) + [seen_path]  # append (Iceberg add-files)
+        pend_path = cat.write_table(pending_next, "pending", round_id)
+        tables["pending"] = [pend_path]  # full replace each round
+
+        if cfg.use_bloom:
+            delta = self._bloom_delta(
+                seenmod.with_hashes(
+                    newly_seen.select("url_hash"), "url_hash", cfg.n_buckets
+                )
+            )
+            merged = self._merge_blooms(bloom, delta)
+            bloom_path = cat.write_table(merged, "bloom", round_id)
+            tables["bloom"] = [bloom_path]
+
+        # 6. counters + per-partition lineage
+        n_pend = pending_next.count()
+        seen_total = (seen.count() if seen is not None else 0) + n_sched
+        counters.update(
+            {
+                "round_candidates": int(n_cand),
+                "queue_after_dedup": int(n_queue),
+                "dup_dropped": int(n_cand + n_pend_prev - n_queue),
+                "scheduled": int(n_sched),
+                "pending_after": int(n_pend),
+                "seen_total": int(seen_total),
+            }
+        )
+        lineage_rows = (
+            newly_seen.groupBy("bucket").count().orderBy("bucket").collect()
+        )
+        lineage = {
+            "seen_rows_per_bucket": {int(r["bucket"]): int(r["count"]) for r in lineage_rows},
+            "round": round_id,
+        }
+        cat.commit(round_id, tables, counters, lineage, parent)
+        cand.unpersist()
+        scheduled.unpersist()
+        return counters
+
+    def run(
+        self,
+        docs: DataFrame,
+        meta: DataFrame,
+        seeds: DataFrame | None = None,
+        politeness_df: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        n_rounds: int | None = None,
+    ) -> list[dict[str, int]]:
+        """Run all rounds, resuming after the last committed snapshot."""
+        total = n_rounds or self.cfg.n_rounds
+        snap = self.catalog.snapshot()
+        start = (snap["round"] + 1) if snap else 0
+        out = []
+        for r in range(start, total):
+            out.append(self.run_round(r, docs, meta, seeds, politeness_df, robots))
+        return out
+
+    def fetch_batch(self, round_id: int) -> DataFrame | None:
+        return self.catalog.read_table(self.spark, f"fetch_batch_{round_id}")
+
+    def seen_table(self) -> DataFrame | None:
+        return self.catalog.read_table(self.spark, "seen")

@@ -29,6 +29,11 @@ _STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def java_trim(text: Column) -> Column:
+    """Java ``String.trim()`` semantics: strip leading/trailing chars <= U+0020."""
+    return F.regexp_replace(text, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+
+
 def normalize_text(text: Column) -> Column:
     """Lowercase + collapse whitespace — the dedup/fingerprint canonical form."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
@@ -164,11 +169,11 @@ def trim_caption(caption: Column) -> Column:
     # position of last space within the first 125 chars (0 when none)
     last_space = F.length(head_raw) - F.position(F.lit(" "), F.reverse(head_raw))
     last_space = F.when(F.position(F.lit(" "), F.reverse(head_raw)) == 0, F.lit(half)).otherwise(last_space)
-    head = F.trim(F.substring(caption, 1, last_space))
+    head = java_trim(F.substring(caption, 1, last_space))
     tail_start = F.length(caption) - F.lit(half) + F.lit(1)
     tail_raw = F.substring(caption, tail_start, F.lit(2**30))
     first_space = F.position(F.lit(" "), tail_raw)  # 1-based, 0 if none
-    tail = F.trim(
+    tail = java_trim(
         F.substring(caption, tail_start + first_space - F.lit(1), F.lit(2**30))
     )
-    return F.when(too_long, F.trim(F.concat(head, F.lit("\n"), tail))).otherwise(caption)
+    return F.when(too_long, java_trim(F.concat(head, F.lit("\n"), tail))).otherwise(caption)
