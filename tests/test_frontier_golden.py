@@ -1,0 +1,161 @@
+"""Golden end-to-end: Spark frontier engine vs pure-Python oracle.
+
+Mirrors the reference's test strategy (SURVEY.md §5): the distributed
+engine must match the single-process oracle exactly — fetch-batch rows
+*and order*, URL-seen membership, pending queue, and counters — and must
+be invariant to partition count (the reference got this via 1 reducer;
+we get it via total ordering keys), and resumable bit-identically.
+"""
+
+import pytest
+
+from image_search_indexing_spark.frontier.oracle import FrontierOracle, OracleConfig
+from image_search_indexing_spark.frontier.rounds import FrontierConfig, FrontierDriver
+
+N_ROUNDS = 3
+BATCH_COLS = [
+    "url_hash",
+    "ref_url",
+    "surt",
+    "host",
+    "kind",
+    "priority",
+    "page_ts",
+    "doc_id",
+    "offset",
+    "queue_pos",
+    "fetch_delay_ms",
+]
+
+
+def _run_engine(spark, corpus, workdir, n_rounds=N_ROUNDS):
+    drv = FrontierDriver(
+        spark,
+        workdir,
+        FrontierConfig(n_rounds=n_rounds, n_buckets=16, n_salts=4, default_budget=5),
+    )
+    counters = drv.run(
+        corpus["docs"],
+        corpus["meta"],
+        corpus["seeds"],
+        corpus["politeness"],
+        corpus["robots"],
+        n_rounds=n_rounds,
+    )
+    return drv, counters
+
+
+def _run_oracle(corpus_py, n_rounds=N_ROUNDS):
+    oracle = FrontierOracle(
+        OracleConfig(n_rounds=n_rounds, default_budget=5),
+        seeds=corpus_py["seeds"],
+        politeness=corpus_py["politeness"],
+        robots=corpus_py["robots"],
+    )
+    return oracle.run(corpus_py["docs"], n_rounds)
+
+
+def _batch_rows(drv, round_id):
+    df = drv.fetch_batch(round_id)
+    rows = [r.asDict() for r in df.select(*BATCH_COLS).collect()]
+    rows.sort(key=lambda r: (r["host"], r["queue_pos"]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def engine_and_oracle(spark, corpus, corpus_py, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("frontier"))
+    drv, counters = _run_engine(spark, corpus, wd)
+    state = _run_oracle(corpus_py)
+    return drv, counters, state
+
+
+def test_fetch_batches_match_oracle(engine_and_oracle):
+    drv, _, state = engine_and_oracle
+    for r in range(N_ROUNDS):
+        got = _batch_rows(drv, r)
+        want = [{k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[r]]
+        assert len(got) == len(want), f"round {r}: {len(got)} vs {len(want)}"
+        for g, w in zip(got, want):
+            assert g == w, f"round {r}: {g} != {w}"
+
+
+def test_seen_set_matches_oracle(engine_and_oracle):
+    drv, _, state = engine_and_oracle
+    got = {r["url_hash"] for r in drv.seen_table().select("url_hash").collect()}
+    assert got == state.seen
+
+
+def test_pending_matches_oracle(spark, engine_and_oracle):
+    drv, _, state = engine_and_oracle
+    pend = drv.catalog.read_table(spark, "pending")
+    got = {r["url_hash"] for r in pend.select("url_hash").collect()}
+    assert got == set(state.pending)
+
+
+def test_counters_match_oracle(engine_and_oracle):
+    _, counters, state = engine_and_oracle
+    keys = [
+        "valid_ref",
+        "robots_blocked",
+        "round_candidates",
+        "queue_after_dedup",
+        "dup_dropped",
+        "scheduled",
+        "pending_after",
+        "seen_total",
+        "url_too_long",
+        "a_not_image",
+    ]
+    for r in range(N_ROUNDS):
+        for k in keys:
+            assert counters[r].get(k, 0) == state.counters[r].get(k, 0), (
+                f"round {r} counter {k}: {counters[r].get(k)} vs {state.counters[r].get(k)}"
+            )
+
+
+def test_partition_count_invariance(spark, corpus, corpus_py, tmp_path_factory):
+    """Crawl order must be identical when the input is partitioned differently
+    and the shuffle width changes (local[8]-vs-local[32] analog)."""
+    from image_search_indexing_spark.frontier import datagen as dg
+
+    docs7, meta7 = dg.generate(spark, corpus["cfg"], partitions=7)
+    corpus7 = dict(corpus, docs=docs7, meta=meta7)
+    wd = str(tmp_path_factory.mktemp("frontier-p7"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        drv7, _ = _run_engine(spark, corpus7, wd, n_rounds=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    state = _run_oracle(corpus_py, n_rounds=2)
+    for r in range(2):
+        got = _batch_rows(drv7, r)
+        want = [{k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[r]]
+        assert got == want
+
+
+def test_resume_bit_identical(spark, corpus, tmp_path_factory):
+    """Kill-and-resume: rounds 0..1, then a NEW driver resumes 2; the
+    resulting batches/seen must equal an uninterrupted 3-round run."""
+    wd_a = str(tmp_path_factory.mktemp("frontier-full"))
+    drv_full, _ = _run_engine(spark, corpus, wd_a, n_rounds=3)
+
+    wd_b = str(tmp_path_factory.mktemp("frontier-resume"))
+    cfgs = dict(n_rounds=3, n_buckets=16, n_salts=4, default_budget=5)
+    drv1 = FrontierDriver(spark, wd_b, FrontierConfig(**cfgs))
+    args = (corpus["docs"], corpus["meta"], corpus["seeds"], corpus["politeness"], corpus["robots"])
+    drv1.run(*args, n_rounds=2)  # "killed" after round 1
+    drv2 = FrontierDriver(spark, wd_b, FrontierConfig(**cfgs))  # fresh process analog
+    drv2.run(*args, n_rounds=3)  # resumes at round 2 (from the snapshot)
+
+    for r in range(3):
+        assert _batch_rows(drv2, r) == _batch_rows(drv_full, r)
+    seen_a = {x["url_hash"] for x in drv_full.seen_table().collect()}
+    seen_b = {x["url_hash"] for x in drv2.seen_table().collect()}
+    assert seen_a == seen_b
+    # lineage + counters recorded in the snapshot metadata
+    snap = drv2.catalog.snapshot()
+    assert snap["round"] == 2
+    assert "seen_rows_per_bucket" in snap["lineage"]
+    assert snap["counters"]["scheduled"] >= 0
