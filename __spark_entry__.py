@@ -1,38 +1,550 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship frontier-scheduling round over sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline additions); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+genuinely non-SQL-expressible ops → driver records rows-only checks).
+
+Column names are aliased identically on both sides (the driver compares
+order-insensitively by sorted column name + value hash).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full frontier scheduling round (extract → canonicalize →
+    dedup champions → politeness top-k) over sf0.001 documents."""
+    from image_search_indexing_spark.plans.flagship import frontier_schedule
+
+    return frontier_schedule(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape, with money in exact integer cents (engine-portable)."""
+    li = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_price_cents"),
+            F.sum(cents * (100 - disc_bp)).alias("sum_disc_price_e4"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(disc_bp).cast("double") / F.count("*") / 100, 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _revenue_e4() -> "F.Column":
+    """Exact integer revenue: cents × (100 − discount basis points).
+
+    l_extendedprice/l_discount carry 2 decimals, so this is exact int64
+    arithmetic — immune to float summation-order differences between
+    engines (unlike round(sum(double), 2) at .xx5 boundaries)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return F.sum(cents * (100 - disc)).alias("revenue_e4")
+
+
+_REVENUE_E4_SQL = (
+    "sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))"
+)
+
+
+def _q3_shipping_priority(spark, sf):
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_e4())
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q4_order_priority(spark, sf):
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _topk_parts_per_supplier(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    per = li.groupBy("l_suppkey", "l_partkey").agg(_revenue_e4())
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue_e4").desc(), F.col("l_partkey"))
+    return per.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+
+
+def _champion_oldest_order(spark, sf):
+    """A5-A7 champion tie-break pattern: per customer the earliest order;
+    ties → highest totalprice, then lowest orderkey."""
+    orders = _t(spark, sf, "orders")
+    ordk = F.struct(
+        F.col("o_orderdate"), (-F.col("o_totalprice")).alias("neg_tp"), F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.min_by(F.col("o_orderkey"), ordk).alias("first_orderkey"),
+        F.min("o_orderdate").alias("first_orderdate"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def _asof_backward_events_orders(spark, sf):
+    """J2-family: latest order at-or-before each event (per user)."""
+    from image_search_indexing_spark.operators.asof import asof_backward
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_backward(ev, orders, "user_id", "ts", "o_orderdate", ["o_orderkey", "o_orderdate"])
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+def _asof_nearest_events_orders(spark, sf):
+    """J2 exact semantics: nearest order by |ts − orderdate|, ties → floor."""
+    from image_search_indexing_spark.operators.asof import asof_nearest
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_nearest(ev, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"])
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+def _exact_dup_groups(spark, sf):
+    from image_search_indexing_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf, "documents"))
+
+
+def _minhash_lsh_buckets(spark, sf):
+    from image_search_indexing_spark.operators.dedup import minhash_lsh_buckets
+
+    return minhash_lsh_buckets(_t(spark, sf, "documents"), k=8, bands=4)
+
+
+def _simhash_buckets(spark, sf):
+    from image_search_indexing_spark.operators.dedup import simhash_buckets
+
+    return simhash_buckets(_t(spark, sf, "documents"))
+
+
+def _ngram_jaccard_pairs(spark, sf):
+    from image_search_indexing_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("text_b"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a", "id_b",
+            F.round(ngram_jaccard(F.col("text_a"), F.col("text_b")), 6).alias("jaccard"),
+        )
+    )
+
+
+def _cosine_topk(spark, sf):
+    from image_search_indexing_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 16), emb.where(F.col("vec_id") >= 16), k=5)
+
+
+def _ann_topk_lsh(spark, sf):
+    from image_search_indexing_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf, "embeddings")
+    return ann_topk_lsh(
+        emb.where(F.col("vec_id") < 16), emb.where(F.col("vec_id") >= 16), dim=64, n_planes=6
+    )
+
+
+def _session_stats(spark, sf):
+    from image_search_indexing_spark.operators.events import session_stats
+
+    return session_stats(_t(spark, sf, "events"))
+
+
+def _hourly_rollup(spark, sf):
+    from image_search_indexing_spark.operators.events import hourly_rollup
+
+    return hourly_rollup(_t(spark, sf, "events"))
+
+
+def _events_anti_orders(spark, sf):
+    ev = _t(spark, sf, "events")
+    orders = _t(spark, sf, "orders")
+    return (
+        ev.join(orders, ev.user_id == orders.o_custkey, "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _text_stats(spark, sf):
+    from image_search_indexing_spark.functions import text as TX
+
+    d = _t(spark, sf, "documents")
+    m = TX.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_chars"].alias("n_chars_m"),
+        F.round(m["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(m["mean_word_len"], 4).alias("mean_word_len"),
+    )
+
+
+def _lang_quality(spark, sf):
+    from image_search_indexing_spark.functions import text as TX
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.rolling_fingerprint(F.col("text")).alias("fp64"),
+    )
+
+
+def _surt_tokens(spark, sf):
+    """URL canonicalization kernels over deterministically synthesized URLs."""
+    from image_search_indexing_spark.functions import urls as U
+
+    d = _t(spark, sf, "documents")
+    hid = F.col("doc_id") % 40
+    tld = F.when(hid % 3 == 0, ".pt").when(hid % 3 == 1, ".com").otherwise(".org")
+    url = F.concat(
+        F.lit("http://www.site"), hid.cast("string"), tld,
+        F.lit("/Path/"), F.col("doc_id").cast("string"), F.lit(".JPG"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        U.surt(url).alias("surt"),
+        U.url_hash(U.surt(url)).alias("url_hash"),
+        U.url_host(url).alias("host"),
+        U.url_tokens(url).alias("tokens"),
+    )
+
+
+def _frontier_schedule(spark, sf):
+    from image_search_indexing_spark.plans.flagship import frontier_schedule
+
+    return frontier_schedule(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "frontier_schedule": _frontier_schedule,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q4_order_priority": _q4_order_priority,
+        "topk_parts_per_supplier": _topk_parts_per_supplier,
+        "champion_oldest_order": _champion_oldest_order,
+        "asof_backward_events_orders": _asof_backward_events_orders,
+        "asof_nearest_events_orders": _asof_nearest_events_orders,
+        "exact_dup_groups": _exact_dup_groups,
+        "minhash_lsh_buckets": _minhash_lsh_buckets,
+        "simhash_buckets": _simhash_buckets,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cosine_topk": _cosine_topk,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "session_stats": _session_stats,
+        "hourly_rollup": _hourly_rollup,
+        "events_anti_orders": _events_anti_orders,
+        "text_stats": _text_stats,
+        "lang_quality": _lang_quality,
+        "surt_tokens": _surt_tokens,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_FRONTIER_SQL = """
+WITH refs AS (
+  SELECT d.doc_id AS did, s.i AS i,
+         (d.doc_id*7 + s.i*13) % 500 AS img_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+  WHERE s.i < 1 + d.doc_id % 4
+), cand AS (
+  SELECT did, i, img_id,
+         img_id % 40 AS hid,
+         CASE WHEN i % 3 = 0 THEN 'img' WHEN i % 3 = 1 THEN 'a' ELSE 'css' END AS kind,
+         CASE WHEN (img_id % 40) % 3 = 0 THEN 'pt'
+              WHEN (img_id % 40) % 3 = 1 THEN 'com' ELSE 'org' END AS tld,
+         CASE WHEN img_id % 2 = 0 THEN '.png' ELSE '.jpg' END AS ext,
+         TIMESTAMP '2016-01-01' + INTERVAL 1 DAY * (did % 365)
+                                + INTERVAL 1 SECOND * (did % 86400) AS page_ts
+  FROM refs
+), built AS (
+  SELECT *,
+    'site' || hid || '.' || tld AS host,
+    'http://www.site' || hid || '.' || tld || '/img/' || img_id || ext AS ref_url,
+    '(' || tld || ',site' || hid || ',)/img/' || img_id || ext AS surt,
+    'doc-' || lpad(did::VARCHAR, 9, '0') AS doc_id,
+    i*2 + 1 AS offs
+  FROM cand
+), hashed AS (SELECT *, md5(surt) AS url_hash FROM built),
+champ AS (
+  SELECT *, row_number() OVER (PARTITION BY url_hash ORDER BY page_ts, doc_id, offs) AS rn
+  FROM hashed
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY host ORDER BY page_ts, length(ref_url), ref_url) AS queue_pos
+  FROM champ WHERE rn = 1
+)
+SELECT url_hash, ref_url, surt, host, kind, page_ts, doc_id,
+       queue_pos::INT AS queue_pos,
+       ((queue_pos - 1) * (500 + (hid % 5) * 250))::BIGINT AS fetch_delay_ms
+FROM ranked WHERE queue_pos <= 3 + hid % 8
+"""
+
+# word tokens / shingles as reusable SQL fragments (mirror functions/text.py)
+_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({c}),"
+    " '[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+_SHINGLES = (
+    "CASE WHEN len({t}) >= 3 THEN"
+    " [array_to_string({t}[i:i+2], ' ') for i in range(1, len({t}) - 1)]"
+    " WHEN len({t}) > 0 THEN [array_to_string({t}, ' ')]"
+    " ELSE [] END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS.format(c="text")
+    shingles = _SHINGLES.format(t="toks")
+    return {
+        "frontier_schedule": _FRONTIER_SQL,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity)::BIGINT) AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_price_cents,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_price_e4,
+                   round(sum(round(l_quantity)::BIGINT)::DOUBLE / count(*), 6) AS avg_qty,
+                   round(sum(round(l_discount * 100)::BIGINT)::DOUBLE
+                         / count(*) / 100, 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {_REVENUE_E4_SQL} AS revenue_e4
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "topk_parts_per_supplier": f"""
+            WITH per AS (
+              SELECT l_suppkey, l_partkey, {_REVENUE_E4_SQL} AS revenue_e4
+              FROM lineitem GROUP BY l_suppkey, l_partkey)
+            SELECT * FROM (
+              SELECT l_suppkey, l_partkey, revenue_e4,
+                     row_number() OVER (PARTITION BY l_suppkey
+                                        ORDER BY revenue_e4 DESC, l_partkey) AS rnk
+              FROM per) WHERE rnk <= 3
+        """,
+        "champion_oldest_order": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, -o_totalprice, o_orderkey) AS rn
+              FROM orders),
+            counts AS (
+              SELECT o_custkey, min(o_orderdate) AS first_orderdate,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey)
+            SELECT c.o_custkey, r.o_orderkey AS first_orderkey,
+                   c.first_orderdate, c.n_orders
+            FROM counts c JOIN ranked r ON c.o_custkey = r.o_custkey AND r.rn = 1
+        """,
+        "asof_backward_events_orders": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        "asof_nearest_events_orders": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate),
+            scored AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                                o.o_orderdate) AS rn
+              FROM events e LEFT JOIN o ON e.user_id = o.user_id)
+            SELECT event_id, user_id, o_orderkey FROM scored WHERE rn = 1
+        """,
+        "exact_dup_groups": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_lsh_buckets": f"""
+            WITH tok AS (
+              SELECT doc_id, {toks} AS toks FROM documents),
+            sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
+            sig AS (
+              SELECT doc_id,
+                [list_min([md5(j::VARCHAR || '|' || s) for s in shingles])
+                 for j in range(0, 8)] AS mh
+              FROM sh),
+            bands AS (
+              SELECT doc_id, b AS band,
+                     md5(mh[2*b + 1] || '|' || mh[2*b + 2]) AS band_hash
+              FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))
+            SELECT band, band_hash, count(*) AS n_docs,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM bands GROUP BY band, band_hash HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct({_SHINGLES.format(t=_TOKS.format(c='text'))})
+                       AS s
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                     THEN len(list_intersect(a.s, b.s))::DOUBLE
+                          / len(list_distinct(list_concat(a.s, b.s)))
+                     ELSE 0.0 END, 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 16),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id >= 16),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_cosine_similarity(qv, cv) AS sim FROM q, c)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "session_stats": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR (epoch_us(ts) // 1000000)
+                             - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, event_id,
+                     sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM s),
+            per AS (SELECT user_id, session_id, count(*) AS n
+                    FROM sess GROUP BY user_id, session_id)
+            SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+                   max(n) AS max_session_events
+            FROM per GROUP BY user_id
+        """,
+        "hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   sum(round(value * 100)::BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_anti_orders": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events e ANTI JOIN orders o ON e.user_id = o.o_custkey
+            GROUP BY event_type
+        """,
+        "text_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, text, {toks} AS toks,
+                     length(text) AS nc FROM documents)
+            SELECT doc_id, len(toks) AS n_tokens, nc AS n_chars_m,
+                   round(CASE WHEN nc > 0 THEN
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / nc
+                     ELSE 0.0 END, 4) AS alpha_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN nc::DOUBLE / len(toks)
+                     ELSE 0.0 END, 4) AS mean_word_len
+            FROM tok
+        """,
+        "surt_tokens": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 40 AS hid,
+                CASE WHEN (doc_id % 40) % 3 = 0 THEN '.pt'
+                     WHEN (doc_id % 40) % 3 = 1 THEN '.com' ELSE '.org' END AS tld
+              FROM documents),
+            built AS (
+              SELECT doc_id, hid, tld,
+                'http://www.site' || hid || tld || '/Path/' || doc_id || '.JPG' AS url,
+                '(' || substr(tld, 2) || ',site' || hid || ',)/Path/'
+                    || doc_id || '.JPG' AS surt,
+                'site' || hid || tld AS host
+              FROM u)
+            SELECT doc_id, url, surt, md5(surt) AS url_hash, host,
+                   trim(regexp_replace(url, '[!-/:-@\\[-`{-~\\x08]+', ' ', 'g'))
+                     AS tokens
+            FROM built
+        """,
+    }

@@ -1,0 +1,130 @@
+"""Deduplication family for large-scale corpus curation.
+
+The reference dedups exactly by content digest (SHA-256 of image bytes,
+``utils/ImageParse.java:61,116-124``; group-merge ``DupDigestMergerJob.
+java:151-174``). A training-data pipeline additionally needs near-dup
+detection; this module provides:
+
+- exact:      hash-groupBy on the normalized-text fingerprint
+- MinHash+LSH: shingle → K minhashes → B bands → bucket-join candidates
+- SimHash:    64-bit sign-aggregated token hashes, hamming buckets
+- n-gram Jaccard: exact set overlap for candidate verification
+- embedding near-dup lives in ``operators/similarity.py``
+
+Scale notes: every variant is shuffle-by-signature (narrow keys), no
+pairwise cross joins — candidate pairs only materialize inside an LSH
+bucket. MinHash here is **md5-based** (min over md5(i‖shingle)) so the
+DuckDB oracle can reproduce it bit-for-bit; at production scale you would
+swap in xxhash64 permutations (same plan shape, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates by normalized-text MD5 (reference A9 analog).
+
+    Returns (fingerprint, n_docs, min_doc_id) for groups with n_docs > 1.
+    """
+    return (
+        docs.select(F.col(id_col), TX.doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(text: Column, k: int = 8, shingle_words: int = 3) -> Column:
+    """array<string> of K md5-minhashes over word shingles (SQL-portable)."""
+    sh = TX.word_shingles(text, shingle_words)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(str(i) + "|"), s))))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """LSH candidate buckets: (band, band_hash, n_docs, doc_ids) with >1 doc.
+
+    rows_per_band = k // bands; docs sharing any band hash are near-dup
+    candidates. doc_ids are sorted for deterministic output.
+    """
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k, shingle_words)
+    with_sig = docs.select(F.col(id_col), sig.alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + j] for j in range(rows)])).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    exploded = with_sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")).select(
+        id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
+    return (
+        exploded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of word tokens (token hash = xxhash64; sign-sum bits).
+
+    Stays fully JVM-side: explode-free via higher-order functions —
+    for each bit b, sum over tokens of ±1 by bit test, then reassemble.
+    """
+    toks = TX.word_tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit = lambda b: F.when(
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        > 0,
+        F.lit(1 << b).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = F.lit(0).cast("long")
+    for b in range(63):  # skip the sign bit to keep the result non-negative
+        out = out.bitwiseOR(bit(b))
+    return out
+
+
+def ngram_jaccard(a: Column, b: Column, shingle_words: int = 3) -> Column:
+    """Exact word-shingle Jaccard similarity between two text columns."""
+    sa, sb = TX.word_shingles(a, shingle_words), TX.word_shingles(b, shingle_words)
+    da, db = F.array_distinct(sa), F.array_distinct(sb)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(F.array_union(da, db))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    prefix_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: docs sharing the top ``prefix_bits`` of simhash."""
+    sh = simhash64(F.col(text_col))
+    shifted = F.shiftright(sh, 63 - prefix_bits)
+    return (
+        docs.select(F.col(id_col), sh.alias("simhash"), shifted.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — queries × corpus with the dot
+product as a JVM-side higher-order ``zip_with``/``aggregate`` expression
+(no Python in the hot path); broadcast the (small) query side so the big
+corpus never shuffles. Scale path: LSH bucketing by random-hyperplane
+signs (deterministic seed), so each query only scans its bucket —
+the IVF-style variant a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import xxhash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank).
+
+    The query side is broadcast (it is the small side by construction);
+    ranking ties break by neighbor id for determinism. Vectors are cast
+    to double before arithmetic so results are engine-portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
+    """Deterministic random-hyperplane LSH signature (bigint bucket id).
+
+    Plane coefficients come from xxhash64(seed, plane, coord) mapped to
+    ±1 — reproducible on any engine, no stored model. Sign of the dot
+    product per plane contributes one bit.
+    """
+    planes = [
+        [1.0 if xxhash64(f"{seed}:{p}:{i}") % 2 == 0 else -1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+    sig = F.lit(0).cast("long")
+    for p, coeffs in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in coeffs])
+        s = dot(vec, arr)
+        sig = sig.bitwiseOR(F.when(s >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)))
+    return sig
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    One equi-join on the signature instead of a cross join — the scan of
+    the corpus partitions by bucket; recall trades off with n_planes.
+    """
+    sig = lambda col: hyperplane_signature(col, dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", sig(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", sig(F.col("cv")))
+    scored = c.join(F.broadcast(q), "bucket").withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
