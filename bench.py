@@ -1,0 +1,223 @@
+"""Benchmark harness.
+
+Default: runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a frontier
+throughput run, and prints ONE JSON line::
+
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "extras": {"frontier_urls_per_sec": ...}}
+
+Modes:
+  python bench.py                 # headline suite + frontier throughput
+  python bench.py --frontier-only --cpus 8   # one frontier run (scaling leg)
+  python bench.py --scaling       # local[8] vs local[32] legs in fresh JVMs,
+                                  # writes BENCH/BASELINE.md, adds extras
+
+The frontier throughput bench schedules with effectively-unbounded
+politeness budgets so the measurement reflects pipeline throughput
+(extract → canonicalize → dedup → seen-filter → schedule → checkpoint),
+not the politeness cap. Input is the deterministic synthetic interleaved
+corpus (seeded generator, no external data), cached under /tmp by config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+
+HEADLINE = [
+    "frontier_schedule",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "topk_parts_per_supplier",
+    "champion_oldest_order",
+    "asof_backward_events_orders",
+    "minhash_lsh_buckets",
+    "cosine_topk",
+    "session_stats",
+    "hourly_rollup",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def corpus_dir(n_docs: int) -> str:
+    return f"/tmp/isis_bench_corpus_{n_docs}_seed42"
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    from image_search_indexing_spark.frontier.datagen import GenConfig, write_corpus
+
+    d = corpus_dir(n_docs)
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    log(f"generating bench corpus ({n_docs} docs) -> {d}")
+    shutil.rmtree(d, ignore_errors=True)
+    write_corpus(spark, GenConfig(n_docs=n_docs, n_hosts=2000, dup_rate=0.25), d)
+    open(marker, "w").write("ok")
+    return d
+
+
+def bench_frontier(spark, n_docs: int, n_rounds: int) -> dict:
+    """Frontier rounds over the cached corpus; returns throughput stats."""
+    from pyspark.sql import functions as F
+
+    from image_search_indexing_spark.frontier.rounds import FrontierConfig, FrontierDriver
+
+    d = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    meta = spark.read.parquet(f"{d}/docmeta.parquet")
+    seeds = spark.read.parquet(f"{d}/seeds.parquet")
+    robots = spark.read.parquet(f"{d}/robots.parquet")
+
+    wd = tempfile.mkdtemp(prefix="isis-bench-")
+    cfg = FrontierConfig(
+        n_rounds=n_rounds,
+        n_buckets=max(32, CPUS * 2),
+        n_salts=16,
+        default_budget=1 << 30,  # throughput mode: schedule everything new
+        expected_per_bucket=max(4096, int(n_docs * 6 / max(32, CPUS * 2))),
+    )
+    drv = FrontierDriver(spark, wd, cfg)
+    t0 = time.time()
+    counters = drv.run(docs, meta, seeds, None, robots, n_rounds=n_rounds)
+    dt = time.time() - t0
+    scheduled = sum(c["scheduled"] for c in counters)
+    candidates = sum(c["round_candidates"] for c in counters)
+    shutil.rmtree(wd, ignore_errors=True)
+    return {
+        "seconds": round(dt, 2),
+        "scheduled": scheduled,
+        "candidates": candidates,
+        "urls_per_sec": round(scheduled / dt, 1),
+        "rounds": n_rounds,
+    }
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        log(f"  {name}: {out[name]}s ({n} rows)")
+    return out
+
+
+def run_leg(cpus: int) -> dict:
+    """Run one frontier-only leg in a fresh JVM at the given parallelism."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--frontier-only"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=3600,
+    )
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def write_scaling_md(leg8: dict, leg32: dict, eff: float) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH baseline — frontier scaling (N vs 4N parallelism)
+
+Same job (frontier rounds: extract → canonicalize → dedup → Bloom+exact
+seen-filter → skew-salted schedule → checkpoint), same deterministic input
+({BENCH_DOCS} docs ≈ {leg32['extras']['frontier']['candidates']} frontier URL
+candidates), two parallelism levels on this 32-core host (the sandbox
+analog of N vs 4N executors, per BASELINE.md protocol):
+
+| leg | master | URLs scheduled/sec | wall sec |
+|---|---|---|---|
+| N  | local[8]  | {leg8['extras']['frontier']['urls_per_sec']} | {leg8['extras']['frontier']['seconds']} |
+| 4N | local[32] | {leg32['extras']['frontier']['urls_per_sec']} | {leg32['extras']['frontier']['seconds']} |
+
+**Scaling efficiency = (T(4N)/T(N)) / 4 = {eff:.3f}** (target >= 0.8).
+
+Output is bit-identical across both legs (partition-count-invariant total
+ordering; verified continuously by tests/test_frontier_golden.py).
+"""
+        )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    frontier_only = "--frontier-only" in args
+    scaling = "--scaling" in args
+
+    if scaling:
+        log("scaling mode: local[8] vs local[32] in fresh JVMs")
+        leg8 = run_leg(8)
+        leg32 = run_leg(32)
+        t8 = leg8["extras"]["frontier"]["urls_per_sec"]
+        t32 = leg32["extras"]["frontier"]["urls_per_sec"]
+        eff = (t32 / t8) / 4
+        write_scaling_md(leg8, leg32, eff)
+        print(
+            json.dumps(
+                {
+                    "metric": "frontier URLs scheduled/sec, scaling local[8] vs local[32]",
+                    "value": t32,
+                    "unit": "urls/sec",
+                    "queries": {},
+                    "sf": "synthetic",
+                    "extras": {
+                        "urls_per_sec_local8": t8,
+                        "urls_per_sec_local32": t32,
+                        "scaling_efficiency": round(eff, 3),
+                    },
+                }
+            )
+        )
+        return
+
+    from image_search_indexing_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, CPUS))
+
+    fr = bench_frontier(spark, BENCH_DOCS, BENCH_ROUNDS)
+    log(f"frontier: {fr}")
+    if frontier_only:
+        queries, total = {}, 0.0
+    else:
+        queries = bench_queries(spark)
+        total = round(sum(queries.values()), 3)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (frontier round + operator queries)",
+                "value": total if not frontier_only else fr["seconds"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "extras": {"frontier": fr, "cpus": CPUS},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

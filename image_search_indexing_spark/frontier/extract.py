@@ -78,6 +78,28 @@ def explode_spans(docs: DataFrame, meta: DataFrame, spans_cap: int = MAX_IMAGE_I
     return exploded.withColumn("prev_text", prev_t).withColumn("next_text", next_t)
 
 
+def _explode_spans_nocaption(docs: DataFrame, meta: DataFrame, spans_cap: int) -> DataFrame:
+    """explode_spans minus the caption-context windows (frontier fast path:
+    media rows only need url/kind/offset, so the per-doc sort is skipped)."""
+    capped = docs.select(
+        "doc_id", F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw")
+    )
+    return (
+        capped.join(meta, "doc_id")
+        .select(
+            "doc_id", "base_url", "fetch_ts", "n_spans_raw",
+            F.posexplode("spans").alias("span_idx", "span"),
+        )
+        .select(
+            "doc_id", "base_url", "fetch_ts", "n_spans_raw", "span_idx",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
 def _caption() -> "F.Column":
     """Nearest-non-empty-text caption with sibling fallback (F11 analog)."""
     off = F.col("offset")
@@ -103,6 +125,7 @@ def extract_refs(
     meta: DataFrame,
     spans_cap: int = MAX_IMAGE_IN_HTML,
     max_url_length: int = MAX_URL_LENGTH,
+    features: str = "full",
 ) -> DataFrame:
     """Media-ref rows with canonical URL, SURT, hash, host, caption, tokens.
 
@@ -110,8 +133,16 @@ def extract_refs(
     'css_already_parsed' (J4), 'url_too_long', 'empty_ref'. Valid rows are
     ``where(drop_reason IS NULL)`` — kept in-frame so one scan also feeds
     the counters aggregation (reference A12).
+
+    ``features='frontier'`` skips the text-feature columns (caption
+    neighborhoods, URL/filename tokens) that only the indexer output needs —
+    the frontier loop then runs without the per-doc caption windows and the
+    tokenization regexes, which dominate the scan otherwise.
     """
-    spans = explode_spans(docs, meta, spans_cap)
+    if features == "frontier":
+        spans = _explode_spans_nocaption(docs, meta, spans_cap)
+    else:
+        spans = explode_spans(docs, meta, spans_cap)
 
     is_media = F.col("kind").isin("img", "a", "css")
     resolved = U.resolve_url(F.col("base_url"), F.col("media_ref"))
@@ -142,16 +173,10 @@ def extract_refs(
         .withColumn("surt", U.surt(F.col("ref_url")))
         .withColumn("url_hash", U.url_hash(F.col("surt")))
         .withColumn("host", U.url_host(F.col("ref_url")))
-        .withColumn("caption", _caption())
         .withColumn("page_url", F.col("base_url"))
-        .withColumn("page_surt", U.surt(F.col("base_url")))
-        .withColumn("page_host", U.url_host(F.col("base_url")))
         .withColumn("page_ts", U.parse_archive_ts(F.col("fetch_ts")))
-        .withColumn("img_src_tokens", U.url_tokens(F.col("ref_url")))
-        .withColumn("img_filename_tokens", U.filename_tokens(F.col("ref_url")))
-        .withColumn("page_url_tokens", U.url_tokens(F.col("base_url")))
     )
-    return out.select(
+    core = [
         "doc_id",
         "kind",
         "span_idx",
@@ -161,17 +186,100 @@ def extract_refs(
         "url_hash",
         "host",
         "ext",
-        "caption",
         "page_url",
-        "page_surt",
-        "page_host",
         "page_ts",
         "fetch_ts",
+        "drop_reason",
+    ]
+    if features == "frontier":
+        return out.select(*core)
+    out = (
+        out.withColumn("caption", _caption())
+        .withColumn("page_surt", U.surt(F.col("base_url")))
+        .withColumn("page_host", U.url_host(F.col("base_url")))
+        .withColumn("img_src_tokens", U.url_tokens(F.col("ref_url")))
+        .withColumn("img_filename_tokens", U.filename_tokens(F.col("ref_url")))
+        .withColumn("page_url_tokens", U.url_tokens(F.col("base_url")))
+    )
+    return out.select(
+        *core[:-1],
+        "caption",
+        "page_surt",
+        "page_host",
         "img_src_tokens",
         "img_filename_tokens",
         "page_url_tokens",
         "drop_reason",
     )
+
+
+def extract_refs_frontier(
+    docs: DataFrame,
+    meta: DataFrame,
+    spans_cap: int = MAX_IMAGE_IN_HTML,
+    max_url_length: int = MAX_URL_LENGTH,
+):
+    """Frontier fast path: media rows only, counters via ``observe``.
+
+    Returns ``(refs, obs_spans, obs_media)``. Non-media spans are dropped
+    *before* any URL enrichment (55% of spans carry no media_ref), and all
+    counters ride as observation metrics on the single extraction pass —
+    no persist, no separate counting actions. Read the observations after
+    the first action over ``refs``:
+
+        not_media = obs_spans['spans_total'] - obs_media['media_total']
+    """
+    from pyspark.sql import Observation
+
+    # NOTE: an array-HOF variant (resolve refs inside the span array, css
+    # check via array_contains, no window) was benched 60% SLOWER — Spark
+    # evaluates lambda HOFs interpreted (no codegen) and duplicated the
+    # transform during projection collapse. The exploded + window plan stays
+    # fully inside whole-stage codegen except the one window exchange.
+    exploded = _explode_spans_nocaption(docs, meta, spans_cap)
+    obs_spans = Observation()
+    exploded = exploded.observe(obs_spans, F.count(F.lit(1)).alias("spans_total"))
+
+    media = exploded.where(F.col("kind").isin("img", "a", "css"))
+    resolved = U.resolve_url(F.col("base_url"), F.col("media_ref"))
+    is_data = F.col("media_ref").startswith("data:")
+    ref_url = F.when(is_data, F.concat(F.lit("hash:"), F.md5(F.col("media_ref")))).otherwise(resolved)
+    ext = F.lower(F.regexp_extract(ref_url, r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
+    enriched = media.withColumn("ref_url", ref_url).withColumn("ext", ext)
+
+    w_doc_url = Window.partitionBy("doc_id", "ref_url")
+    parsed_elsewhere = F.max(
+        F.when(F.col("kind").isin("img", "a"), F.lit(1)).otherwise(F.lit(0))
+    ).over(w_doc_url)
+    drop_reason = (
+        F.when(F.col("media_ref").isNull() | (F.trim("media_ref") == ""), F.lit("empty_ref"))
+        .when(F.length("ref_url") > max_url_length, F.lit("url_too_long"))
+        .when((F.col("kind") == "a") & ~ext.isin(IMAGE_FILE_EXTENSIONS), F.lit("a_not_image"))
+        .when((F.col("kind") == "css") & (parsed_elsewhere == 1), F.lit("css_already_parsed"))
+    )
+    refs = (
+        enriched.withColumn("drop_reason", drop_reason)
+        .withColumn("surt", U.surt(F.col("ref_url")))
+        .withColumn("url_hash", U.url_hash(F.col("surt")))
+        .withColumn("host", U.url_host(F.col("ref_url")))
+        .withColumn("page_ts", U.parse_archive_ts(F.col("fetch_ts")))
+        .select(
+            "doc_id", "kind", "span_idx", "offset", "ref_url", "surt",
+            "url_hash", "host", "ext", "page_ts", "drop_reason",
+        )
+    )
+    obs_media = Observation()
+    reason = lambda r: F.count(F.when(F.col("drop_reason") == r, 1)).alias(r)
+    refs = refs.observe(
+        obs_media,
+        F.count(F.lit(1)).alias("media_total"),
+        F.count(F.when(F.col("drop_reason").isNull(), 1)).alias("valid_ref"),
+        reason("empty_ref"),
+        reason("url_too_long"),
+        reason("a_not_image"),
+        reason("css_already_parsed"),
+    )
+    return refs, obs_spans, obs_media
 
 
 def extraction_counters(refs: DataFrame) -> DataFrame:

@@ -85,14 +85,23 @@ class FrontierDriver:
     # ---------------------------------------------------------------- helpers
 
     def _candidates(self, docs: DataFrame, meta: DataFrame, seeds: DataFrame | None,
-                    robots: DataFrame | None) -> tuple[DataFrame, dict[str, int]]:
-        refs = extract.extract_refs(docs, meta, spans_cap=self.cfg.spans_cap)
-        refs = refs.persist()
-        counters = {
-            r["counter"]: r["value"] for r in extract.extraction_counters(refs).collect()
-        }
+                    robots: DataFrame | None):
+        """Build the round's candidate frame. Counters ride as observation
+        metrics on the single extraction pass (reference A1's "count while
+        you map" — no extra actions, no wide persist); call the returned
+        ``finish_counters()`` after the first action over the frame."""
+        from pyspark.sql import Observation
+
+        refs, obs_spans, obs_media = extract.extract_refs_frontier(
+            docs, meta, spans_cap=self.cfg.spans_cap
+        )
         valid = refs.where(F.col("drop_reason").isNull())
         valid = pol.robots_filter(valid, robots)
+        obs_robots = Observation()
+        valid = valid.observe(
+            obs_robots,
+            F.count(F.when(F.col("robots_blocked"), 1)).alias("robots_blocked"),
+        )
         # seed priority per host (broadcast dim); unknown hosts get default
         if seeds is not None:
             host_prio = seeds.groupBy("host").agg(F.min("priority").alias("__prio"))
@@ -101,15 +110,27 @@ class FrontierDriver:
         else:
             prio = F.lit(self.cfg.default_priority)
         cand = (
-            valid.withColumn("priority", prio.cast("int"))
-            .withColumn("robots_ct", F.col("robots_blocked").cast("int"))
+            valid.where(~F.col("robots_blocked"))
+            .withColumn("priority", prio.cast("int"))
         )
-        n_blocked = cand.agg(F.sum("robots_ct")).collect()[0][0] or 0
-        counters["robots_blocked"] = int(n_blocked)
-        cand = cand.where(~F.col("robots_blocked"))
         cand = seenmod.with_hashes(cand, "url_hash", self.cfg.n_buckets).select(*CAND_COLS)
-        refs.unpersist()
-        return cand, counters
+
+        def finish_counters() -> dict[str, int]:
+            spans, med, rob = obs_spans.get, obs_media.get, obs_robots.get
+            counters = {
+                k: int(med[k])
+                for k in ("valid_ref", "empty_ref", "url_too_long", "a_not_image",
+                          "css_already_parsed")
+                if med[k]
+            }
+            counters["not_media"] = int(spans["spans_total"] - med["media_total"])
+            counters["robots_blocked"] = int(rob["robots_blocked"] or 0)
+            counters["round_candidates"] = int(
+                med["valid_ref"] - counters["robots_blocked"]
+            )
+            return counters
+
+        return cand, finish_counters
 
     def _bloom_delta(self, newly_seen: DataFrame) -> DataFrame:
         return seenmod.build_bloom_table(
@@ -168,20 +189,21 @@ class FrontierDriver:
 
         # 1. this round's arriving documents (closed-world fetch simulation)
         rdocs = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_rounds)) == round_id)
-        cand, counters = self._candidates(rdocs, meta, seeds, robots)
+        cand, finish_counters = self._candidates(rdocs, meta, seeds, robots)
 
         # 2. merge with the carried-over queue, dedup deterministically
-        n_cand = cand.count()
         n_pend_prev = pending.count() if pending is not None else 0
         if pending is not None:
             cand = cand.unionByName(pending.select(*CAND_COLS))
         cand = _dedup_candidates(cand).persist()
         n_queue = cand.count()
+        counters = finish_counters()  # observations resolved by the action above
+        n_cand = counters["round_candidates"]
 
         # 3. seen-set filter (bloom prefilter routes; exact join decides)
         new_urls = seenmod.filter_new_urls(
             spark, cand, seen, bloom, key="url_hash", n_buckets=cfg.n_buckets
-        )
+        ).persist()
 
         # 4. politeness scheduling (skew-salted two-phase top-k)
         scheduled = pol.schedule_round(
@@ -206,17 +228,17 @@ class FrontierDriver:
             f"fetch_batch_{round_id}", round_id,
         )
         tables[f"fetch_batch_{round_id}"] = [batch_path]
-        seen_path = cat.write_table(newly_seen, "seen", round_id, partition_by=["bucket"])
+        # one file per bucket dir (vs n_tasks × n_buckets small files)
+        seen_path = cat.write_table(
+            newly_seen.repartition(cfg.n_buckets, "bucket"),
+            "seen", round_id, partition_by=["bucket"],
+        )
         tables["seen"] = tables.get("seen", []) + [seen_path]  # append (Iceberg add-files)
         pend_path = cat.write_table(pending_next, "pending", round_id)
         tables["pending"] = [pend_path]  # full replace each round
 
         if cfg.use_bloom:
-            delta = self._bloom_delta(
-                seenmod.with_hashes(
-                    newly_seen.select("url_hash"), "url_hash", cfg.n_buckets
-                )
-            )
+            delta = self._bloom_delta(newly_seen)  # carries (bucket, h1, h2)
             merged = self._merge_blooms(bloom, delta)
             bloom_path = cat.write_table(merged, "bloom", round_id)
             tables["bloom"] = [bloom_path]
@@ -226,7 +248,6 @@ class FrontierDriver:
         seen_total = (seen.count() if seen is not None else 0) + n_sched
         counters.update(
             {
-                "round_candidates": int(n_cand),
                 "queue_after_dedup": int(n_queue),
                 "dup_dropped": int(n_cand + n_pend_prev - n_queue),
                 "scheduled": int(n_sched),
@@ -243,6 +264,7 @@ class FrontierDriver:
         }
         cat.commit(round_id, tables, counters, lineage, parent)
         cand.unpersist()
+        new_urls.unpersist()
         scheduled.unpersist()
         return counters
 

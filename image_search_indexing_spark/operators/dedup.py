@@ -64,8 +64,34 @@ def minhash_lsh_buckets(
     candidates. doc_ids are sorted for deterministic output.
     """
     rows = k // bands
-    sig = minhash_signature(F.col(text_col), k, shingle_words)
-    with_sig = docs.select(F.col(id_col), sig.alias("sig"))
+    # materialize tokens, then shingles, then the signature — inlining the
+    # shingle expression into all K min-hash expressions makes Catalyst
+    # evaluate it K times per row (and the CASE in word_shingles duplicates
+    # the token transform); staged projections keep each computed once
+    toks = docs.select(F.col(id_col), TX.word_tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_words - 1), F.lit(0)))
+    sh = toks.select(
+        F.col(id_col),
+        F.when(
+            n >= shingle_words,
+            F.transform(idx, lambda i: F.array_join(F.slice("__toks", i, shingle_words), " ")),
+        )
+        .when(n > 0, F.array(F.array_join("__toks", " ")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__sh"),
+    )
+    with_sig = sh.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(str(i) + "|"), s)))
+                )
+                for i in range(k)
+            ]
+        ).alias("sig"),
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
