@@ -83,7 +83,7 @@ def bench_frontier(spark, n_docs: int, n_rounds: int) -> dict:
     seeds = spark.read.parquet(f"{d}/seeds.parquet")
     robots = spark.read.parquet(f"{d}/robots.parquet")
 
-    wd = tempfile.mkdtemp(prefix="isis-bench-")
+    wd = tempfile.mkdtemp(prefix="isis-bench-", dir="/dev/shm")
     cfg = FrontierConfig(
         n_rounds=n_rounds,
         n_buckets=max(32, CPUS * 2),

@@ -192,13 +192,14 @@ class FrontierDriver:
         cand, finish_counters = self._candidates(rdocs, meta, seeds, robots)
 
         # 2. merge with the carried-over queue, dedup deterministically
+        from pyspark.sql import Observation
+
         n_pend_prev = pending.count() if pending is not None else 0
         if pending is not None:
             cand = cand.unionByName(pending.select(*CAND_COLS))
-        cand = _dedup_candidates(cand).persist()
-        n_queue = cand.count()
-        counters = finish_counters()  # observations resolved by the action above
-        n_cand = counters["round_candidates"]
+        cand = _dedup_candidates(cand)
+        obs_queue = Observation()
+        cand = cand.observe(obs_queue, F.count(F.lit(1)).alias("n")).persist()
 
         # 3. seen-set filter (bloom prefilter routes; exact join decides)
         new_urls = seenmod.filter_new_urls(
@@ -209,12 +210,20 @@ class FrontierDriver:
         scheduled = pol.schedule_round(
             new_urls, politeness_df, cfg.default_budget, cfg.n_salts
         ).persist()
+        # single action materializes extract→dedup→seen-filter→schedule and
+        # resolves every observation riding on the pass
         n_sched = scheduled.count()
+        counters = finish_counters()
+        n_queue = int(obs_queue.get["n"])
+        n_cand = counters["round_candidates"]
 
         # 5. state updates: pending = new − scheduled; seen += scheduled
-        pending_next = new_urls.join(
-            scheduled.select("url_hash"), "url_hash", "left_anti"
-        ).select(*CAND_COLS)
+        obs_pend = Observation()
+        pending_next = (
+            new_urls.join(scheduled.select("url_hash"), "url_hash", "left_anti")
+            .select(*CAND_COLS)
+            .observe(obs_pend, F.count(F.lit(1)).alias("n"))
+        )
         newly_seen = scheduled.select(
             "url_hash", "surt", "ref_url", "host", "h1", "h2", "bucket"
         ).withColumn("seen_round", F.lit(round_id))
@@ -243,8 +252,8 @@ class FrontierDriver:
             bloom_path = cat.write_table(merged, "bloom", round_id)
             tables["bloom"] = [bloom_path]
 
-        # 6. counters + per-partition lineage
-        n_pend = pending_next.count()
+        # 6. counters + per-partition lineage (n_pend resolved by the write)
+        n_pend = int(obs_pend.get["n"])
         seen_total = (seen.count() if seen is not None else 0) + n_sched
         counters.update(
             {

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # this sandbox's virtio disk serializes under concurrent IO (32
+        # threads anti-scale); shuffle/spill go to tmpfs — on a real cluster
+        # spark.local.dir is provisioned per-node SSD and this is overridden
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # spans tables explode ~12x: input splits must be sized by OUTPUT
+        # work, not compressed input bytes, or a 130MB table becomes 2 tasks
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
