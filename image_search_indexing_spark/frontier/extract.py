@@ -282,6 +282,73 @@ def extract_refs_frontier(
     return refs, obs_spans, obs_media
 
 
+def extract_refs_streaming(
+    stream: DataFrame,
+    spans_cap: int = MAX_IMAGE_IN_HTML,
+    max_url_length: int = MAX_URL_LENGTH,
+) -> DataFrame:
+    """Streaming-safe extraction (no non-time windows allowed there).
+
+    The J4 css-vs-parsed check runs INSIDE the span array pre-explode
+    (a doc's spans arrive in one row, so the check is local — exactly the
+    reference's per-page in-memory check, ImageInformationExtractor.java:
+    596-613). Interpreted-HOF cost is acceptable on the incremental path;
+    the batch path keeps the codegen'd window plan.
+
+    ``stream`` columns: doc_id, spans, base_url, fetch_ts.
+    """
+    base = F.col("base_url")
+
+    def ref_of(s):
+        mr = s["media_ref"]
+        return F.when(
+            mr.startswith("data:"), F.concat(F.lit("hash:"), F.md5(mr))
+        ).otherwise(U.resolve_url(base, mr))
+
+    capped = stream.select(
+        "doc_id", "base_url", "fetch_ts", F.slice("spans", 1, spans_cap).alias("spans")
+    )
+    refs_arr = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] != "text"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+            ref_of(s).alias("ref_url"),
+        ),
+    )
+    staged = capped.select("doc_id", "fetch_ts", refs_arr.alias("__refs"))
+    parsed = F.transform(
+        F.filter(F.col("__refs"), lambda r: r["kind"].isin("img", "a") & r["media_ref"].isNotNull()),
+        lambda r: r["ref_url"],
+    )
+    staged = staged.select("doc_id", "fetch_ts", "__refs", parsed.alias("__parsed"))
+    exploded = staged.select(
+        "doc_id", "fetch_ts", "__parsed", F.explode("__refs").alias("s")
+    ).select("doc_id", "fetch_ts", "__parsed", "s.*")
+
+    ext = F.lower(F.regexp_extract(F.col("ref_url"), r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
+    css_dup = (F.col("kind") == "css") & F.array_contains(F.col("__parsed"), F.col("ref_url"))
+    drop_reason = (
+        F.when(F.col("media_ref").isNull() | (F.trim("media_ref") == ""), F.lit("empty_ref"))
+        .when(F.length("ref_url") > max_url_length, F.lit("url_too_long"))
+        .when((F.col("kind") == "a") & ~ext.isin(IMAGE_FILE_EXTENSIONS), F.lit("a_not_image"))
+        .when(css_dup, F.lit("css_already_parsed"))
+    )
+    return (
+        exploded.withColumn("drop_reason", drop_reason)
+        .withColumn("ext", ext)
+        .withColumn("surt", U.surt(F.col("ref_url")))
+        .withColumn("url_hash", U.url_hash(F.col("surt")))
+        .withColumn("host", U.url_host(F.col("ref_url")))
+        .withColumn("page_ts", U.parse_archive_ts(F.col("fetch_ts")))
+        .select(
+            "doc_id", "kind", "offset", "ref_url", "surt",
+            "url_hash", "host", "ext", "page_ts", "drop_reason",
+        )
+    )
+
+
 def extraction_counters(refs: DataFrame) -> DataFrame:
     """Reference-counter analog (A12): one row per drop_reason + totals."""
     return (

@@ -1,0 +1,219 @@
+"""The reference's full image-indexing pipeline as one DataFrame plan.
+
+Re-expresses both chained MapReduce jobs (SURVEY.md §3.1):
+
+JOB 1 — ``ImageIndexerWithDupsJob`` (group by SURT):
+- image captures deduped by content digest, timestamps accumulated sorted
+  (A3: ``FullImageMetadata.java:195-218``, ``ImageData.java:255-282``)
+- page records deduped by image-metadata string, oldest-page champion +
+  newest timestamp (A4/A6: ``PageImageData.java:397-425``)
+- oldest-champion tie-breaks (A5-A7): min by (ts, shorter URL, smaller
+  hash) — here ``min_by(struct(...), struct(ts, length(url), url))``
+- nearest-capture assignment (J2: ``FullImageMetadata.java:295-320``):
+  each page record takes the capture whose timestamp is closest to the
+  page timestamp, ties to the floor — ``operators/asof.asof_nearest``
+- re-key by digest (A8: ``ImageIndexerWithDupsJob.java:287-303``): the
+  nearest-capture join assigns each page its capture's digest, which IS
+  the reference's "pages whose timestamp ∈ the digest's timestamps" (J3)
+- caps (A10: 500 meta / ``MAXIMUM_META``) via ``slice`` for parity
+
+JOB 2 — ``DupDigestMergerJob`` (group by digest):
+- FULL: one output row per surviving page record with its image fields
+  (``DupDigestMergerJob.java:188-195``)
+- COMPACT: one row per digest; lists of distinct non-empty titles/alts/
+  captions ordered by the page-metadata string, TreeMap-style
+  (A11/O3: ``MultiPageImageData.java:166-219``)
+
+Content digests: the sandbox has no image bytes, so the digest models
+"identical content served from different URLs" deterministically as
+``md5('content:' + url path)`` — two hosts serving ``/img/7.png`` share a
+digest, exercising the digest-rekey/merge path exactly like SHA-256 of
+bytes does in the reference (``utils/ImageParse.java:116-124``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..frontier import docspans
+from ..frontier.extract import extract_refs
+from ..operators.asof import asof_nearest
+
+MAXIMUM_META = 500  # FullImageMetadata.java:22
+
+
+def content_digest(ref_url) -> "F.Column":
+    path = F.regexp_replace(ref_url, r"^(?:https?:)?//[^/]*", "")
+    return F.md5(F.concat(F.lit("content:"), path))
+
+
+def build_records(spark: SparkSession, sf_dir: str):
+    """(captures, page_records) from the interleaved corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = docspans.spans_from_documents(docs)
+    meta = docspans.docmeta_from_documents(docs)
+    refs = extract_refs(spans, meta).where(F.col("drop_reason").isNull())
+
+    captures = refs.select(
+        "surt",
+        content_digest(F.col("ref_url")).alias("digest"),
+        F.col("page_ts").alias("capture_ts"),
+        F.col("ref_url").alias("img_url"),
+        F.col("url_hash").alias("img_url_hash"),
+        F.col("img_filename_tokens").alias("img_title"),
+    )
+    pages = refs.select(
+        "surt",
+        F.col("page_url"),
+        F.col("page_surt"),
+        F.col("page_host"),
+        F.col("page_ts"),
+        F.col("caption"),
+        F.col("img_filename_tokens").alias("img_title"),
+        F.lit(None).cast("string").alias("img_alt"),
+        F.col("img_src_tokens"),
+        F.col("page_url_tokens"),
+        F.col("kind").alias("tag_found_in"),
+    ).withColumn(
+        "metadata_str",
+        F.concat_ws("\n", F.coalesce("img_title", F.lit("")),
+                    F.coalesce("img_alt", F.lit("")), F.coalesce("caption", F.lit(""))),
+    )
+    return captures, pages
+
+
+def images_per_surt(captures: DataFrame) -> DataFrame:
+    """A3/A7: one row per (surt, digest) with sorted timestamps + champion."""
+    champ_ord = F.struct(F.col("capture_ts"), F.length("img_url"), F.col("img_url_hash"))
+    return captures.groupBy("surt", "digest").agg(
+        F.slice(F.array_sort(F.collect_list("capture_ts")), 1, MAXIMUM_META).alias("timestamps"),
+        F.min_by(F.struct("img_url", "img_title", "img_url_hash"), champ_ord).alias("champion"),
+        F.min("capture_ts").alias("first_capture_ts"),
+        F.max("capture_ts").alias("last_capture_ts"),
+        F.count("*").alias("n_captures"),
+    )
+
+
+def pages_deduped(pages: DataFrame) -> DataFrame:
+    """A4/A6: per (surt, metadata_str) keep the oldest page, newest ts."""
+    champ_ord = F.struct(F.col("page_ts"), F.length("page_url"), F.col("page_url"))
+    return pages.groupBy("surt", "metadata_str").agg(
+        F.min_by(
+            F.struct(
+                "page_url", "page_surt", "page_host", "page_ts", "caption",
+                "img_title", "img_alt", "img_src_tokens", "page_url_tokens", "tag_found_in",
+            ),
+            champ_ord,
+        ).alias("p"),
+        F.max("page_ts").alias("page_ts_newest"),
+        F.count("*").alias("n_metadata_changes"),
+    ).select("surt", "metadata_str", "page_ts_newest", "n_metadata_changes", "p.*")
+
+
+def assign_captures(pages_d: DataFrame, captures: DataFrame) -> DataFrame:
+    """J2: nearest capture per page record (per surt), ties to floor.
+
+    The assigned capture carries its digest — the A8 digest re-key."""
+    caps = captures.select(
+        "surt", "capture_ts", "digest", F.col("img_url").alias("assigned_img_url")
+    ).dropDuplicates(["surt", "capture_ts", "digest", "assigned_img_url"])
+    # unique (surt, ts) for determinism: earliest-URL capture at equal ts
+    caps = caps.groupBy("surt", "capture_ts").agg(
+        F.min_by(F.struct("digest", "assigned_img_url"),
+                 F.struct(F.length("assigned_img_url"), F.col("assigned_img_url"))).alias("c")
+    ).select("surt", "capture_ts", "c.digest", "c.assigned_img_url")
+    return asof_nearest(
+        pages_d, caps, key="surt", left_ts="page_ts", right_ts="capture_ts",
+        payload=["digest", "assigned_img_url"],
+    )
+
+
+def indexer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL output: one row per page record with its assigned image."""
+    captures, pages = build_records(spark, sf_dir)
+    imgs = images_per_surt(captures)
+    assigned = assign_captures(pages_deduped(pages), captures)
+    out = assigned.join(imgs, ["surt", "digest"], "left")
+    return out.select(
+        "surt",
+        "digest",
+        "assigned_img_url",
+        F.col("champion.img_title").alias("img_title_champion"),
+        "timestamps",
+        "n_captures",
+        "page_url",
+        "page_host",
+        "page_ts",
+        "page_ts_newest",
+        "caption",
+        "img_title",
+        "img_src_tokens",
+        "page_url_tokens",
+        "tag_found_in",
+        "n_metadata_changes",
+    )
+
+
+def indexer_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT output: one row per digest with metadata lists (A11/O3).
+
+    Lists are ordered by the page metadata string (the reference's TreeMap
+    iteration order) and deduped; empties dropped
+    (MultiPageImageData.java:200-212)."""
+    captures, pages = build_records(spark, sf_dir)
+    imgs = images_per_surt(captures)
+    assigned = assign_captures(pages_deduped(pages), captures)
+
+    nonempty = lambda xs: F.filter(xs, lambda x: x.isNotNull() & (x != ""))
+    per_digest_pages = assigned.groupBy("digest").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("metadata_str", "img_title", "img_alt", "caption",
+                                        "page_url", "page_ts"))
+            ),
+            1,
+            MAXIMUM_META,
+        ).alias("recs"),
+        F.count("*").alias("n_page_records"),
+    )
+    lists = per_digest_pages.select(
+        "digest",
+        "n_page_records",
+        nonempty(F.array_distinct(F.transform("recs", lambda r: r["img_title"]))).alias("titles"),
+        nonempty(F.array_distinct(F.transform("recs", lambda r: r["img_alt"]))).alias("alts"),
+        nonempty(F.array_distinct(F.transform("recs", lambda r: r["caption"]))).alias("captions"),
+        F.element_at("recs", 1)["page_url"].alias("first_page_url"),
+        F.element_at("recs", 1)["page_ts"].alias("first_page_ts"),
+    )
+    # one image champion per digest: lowest (surt, first ts, url) — the
+    # firstKey() of the digest-merged TreeMap (DupDigestMergerJob.java:198-204)
+    img_champ = imgs.groupBy("digest").agg(
+        F.min_by(
+            F.struct("surt", "champion", "timestamps", "n_captures"),
+            F.struct(F.col("surt"), F.col("first_capture_ts")),
+        ).alias("img"),
+        F.sum("n_captures").alias("total_captures"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("timestamps"))), 1, MAXIMUM_META).alias(
+            "all_timestamps"
+        ),
+    )
+    return img_champ.join(lists, "digest", "left").select(
+        "digest",
+        F.col("img.surt").alias("surt"),
+        F.col("img.champion.img_url").alias("img_url"),
+        "all_timestamps",
+        "total_captures",
+        "n_page_records",
+        "titles",
+        "alts",
+        "captions",
+        "first_page_url",
+        "first_page_ts",
+    )
+
+
+def to_jsonl(df: DataFrame, path: str) -> None:
+    """Reference's final sink: one JSON object per line (S7,
+    DupDigestMergerJob.java:285-299)."""
+    df.write.mode("overwrite").json(path)
