@@ -274,9 +274,23 @@ def _frontier_schedule(spark, sf):
     return frontier_schedule(spark, sf)
 
 
+def _indexer_full(spark, sf):
+    from image_search_indexing_spark.plans.indexer import indexer_full
+
+    return indexer_full(spark, sf)
+
+
+def _indexer_compact(spark, sf):
+    from image_search_indexing_spark.plans.indexer import indexer_compact
+
+    return indexer_compact(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": _frontier_schedule,
+        "indexer_full": _indexer_full,
+        "indexer_compact": _indexer_compact,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,

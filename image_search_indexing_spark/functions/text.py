@@ -29,6 +29,45 @@ _STOPWORDS: dict[str, list[str]] = {
 }
 
 
+_MOJIBAKE_RE = (
+    "Ã©|Ã¡|Ã£|Ã§|Ã°|Ãµ|Ã´|Ã³|Â®|Ã‡|ÃŠ|Ã•|Ã¨|Ãª|Ã«|Ã±|Ã¹|Ãº|Ã»|Â£"
+)  # ImageSearchIndexingUtil.java:40 UTF8_MISMATCH
+
+
+def fix_mojibake_udf():
+    """F7: UTF-8 mojibake repair (ImageSearchIndexingUtil.java:247-287).
+
+    Text containing double-encoded sequences (e.g. 'Ã©' for 'é') is
+    re-encoded latin-1 → UTF-8; the repair is kept only when the result no
+    longer matches the mojibake pattern (the reference's double-check).
+    Arrow-vectorized pandas UDF (regex detection vectorized; re-encoding
+    only on the matched minority)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    pat = re.compile(_MOJIBAKE_RE)
+
+    def _fix(s):  # no type hints: pandas_udf would resolve them in this scope
+        def repair(x):
+            if x is None or not pat.search(x):
+                return x
+            try:
+                fixed = x.encode("latin-1", errors="ignore").decode("utf-8", errors="ignore")
+            except Exception:
+                return x
+            return fixed if not pat.search(fixed) else x
+
+        mask = s.notna() & s.str.contains(_MOJIBAKE_RE, regex=True, na=False)
+        out = s.copy()
+        out[mask] = s[mask].map(repair)
+        return out
+
+    return F2.pandas_udf(_fix, T2.StringType())
+
+
 def java_trim(text: Column) -> Column:
     """Java ``String.trim()`` semantics: strip leading/trailing chars <= U+0020."""
     return F.regexp_replace(text, r"^[\x00-\x20]+|[\x00-\x20]+$", "")

@@ -1,0 +1,50 @@
+"""Readers (S1/S3/S8 analogs) + mojibake repair (F7) unit tests."""
+
+from pyspark.sql import functions as F
+
+
+def test_read_documents_glob_and_prune(spark, corpus, tmpdir_path):
+    from image_search_indexing_spark.sources.readers import read_documents
+
+    corpus["docs"].write.mode("overwrite").parquet(f"{tmpdir_path}/docs.parquet")
+    df = read_documents(spark, f"{tmpdir_path}/docs.parquet", glob="*.parquet", columns=["doc_id"])
+    assert df.columns == ["doc_id"]
+    assert df.count() == corpus["docs"].count()
+    # projection is pushed to the parquet scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:string>" in plan
+
+
+def test_read_media_files(spark, tmpdir_path):
+    from image_search_indexing_spark.sources.readers import read_media_files
+
+    with open(f"{tmpdir_path}/a.bin", "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\npayload")
+    with open(f"{tmpdir_path}/skip.txt", "wb") as f:
+        f.write(b"nope")
+    df = read_media_files(spark, tmpdir_path, glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]).startswith(b"\x89PNG")
+
+
+def test_read_url_list(spark, tmpdir_path):
+    from image_search_indexing_spark.sources.readers import read_url_list
+
+    with open(f"{tmpdir_path}/urls.txt", "w") as f:
+        f.write("http://a.pt/1\nhttp://b.pt/2\n")
+    df = read_url_list(spark, f"{tmpdir_path}/urls.txt", n_partitions=2)
+    assert sorted(r["url"] for r in df.collect()) == ["http://a.pt/1", "http://b.pt/2"]
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_fix_mojibake(spark):
+    from image_search_indexing_spark.functions.text import fix_mojibake_udf
+
+    broken = "coraÃ§Ã£o partido"  # 'coração' double-encoded
+    clean = "já limpo"
+    df = spark.createDataFrame([(broken,), (clean,), (None,)], ["t"])
+    out = [r["f"] for r in df.select(fix_mojibake_udf()(F.col("t")).alias("f")).collect()]
+    assert out[0] == "coração partido"
+    assert out[1] == "já limpo"  # untouched
+    assert out[2] is None
