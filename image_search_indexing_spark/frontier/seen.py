@@ -114,33 +114,41 @@ def build_bloom_table(
 def bloom_probe(
     spark: SparkSession, candidates: DataFrame, bloom_table: DataFrame, out_col: str = "maybe_seen"
 ) -> DataFrame:
-    """Mark candidates maybe-seen via the per-bucket Blooms.
+    """Mark candidates maybe-seen via the per-bucket Blooms — distributed.
 
-    Locally the filters are broadcast as a dict; on a cluster the same
-    broadcast works to ~GBs, beyond which the storage-partitioned variant
-    (zip partitions by bucket) applies. Probe is Arrow-vectorized.
+    Cogroup by ``bucket``: each group receives its candidate slice plus its
+    single Bloom row, so filters NEVER pass through the driver and no
+    executor holds more than its buckets' filters — the property that keeps
+    a 10^10-entry seen set feasible (total filter bytes stay sharded). An
+    earlier collect+broadcast variant serialized ~2MB × n_buckets through
+    the driver and every Python worker; at bench scale that alone capped
+    scaling at ~1.7x from 8→32 cores.
     """
-    rows = bloom_table.collect()
-    blooms = {r["bucket"]: (r["m"], r["k"], r["bits"]) for r in rows}
-    bc = spark.sparkContext.broadcast(blooms)
+    cand_cols = candidates.columns
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields)
+    out_schema += f", {out_col} boolean"
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        table = bc.value
-        out = np.zeros(len(bucket), dtype=bool)
-        b = bucket.to_numpy()
-        u1 = h1.to_numpy().astype(np.uint64)
-        u2 = h2.to_numpy().astype(np.uint64)
-        for bk in np.unique(b):
-            ent = table.get(int(bk))
-            if ent is None:
-                continue  # no filter for this bucket → nothing seen there
-            m, k, bits = ent
-            sel = b == bk
-            out[sel] = bloom_contains(bits, u1[sel], u2[sel], m, k)
-        return pd.Series(out)
+    def probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.copy()
+        if len(cand_pdf) == 0:
+            out[out_col] = pd.Series([], dtype=bool)
+            return out
+        if len(bloom_pdf) == 0:
+            out[out_col] = False  # no filter for this bucket → nothing seen
+            return out
+        m = int(bloom_pdf["m"].iloc[0])
+        k = int(bloom_pdf["k"].iloc[0])
+        bits = bloom_pdf["bits"].iloc[0]
+        u1 = cand_pdf["h1"].to_numpy().astype(np.uint64)
+        u2 = cand_pdf["h2"].to_numpy().astype(np.uint64)
+        out[out_col] = bloom_contains(bits, u1, u2, m, k)
+        return out
 
-    return candidates.withColumn(out_col, probe("bucket", "h1", "h2"))
+    return (
+        candidates.groupBy("bucket")
+        .cogroup(bloom_table.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -274,27 +282,29 @@ def build_cuckoo_table(tombstones: DataFrame) -> DataFrame:
 def cuckoo_probe(
     spark: SparkSession, df: DataFrame, cuckoo_table: DataFrame, out_col: str = "maybe_deleted"
 ) -> DataFrame:
-    rows = cuckoo_table.collect()
-    filters = {r["bucket"]: r["table"] for r in rows}
-    bc = spark.sparkContext.broadcast(filters)
+    """Distributed cuckoo probe — cogroup by bucket (see bloom_probe)."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", {out_col} boolean"
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        table = bc.value
-        out = np.zeros(len(bucket), dtype=bool)
-        b = bucket.to_numpy()
-        u1 = h1.to_numpy().astype(np.uint64)
-        u2 = h2.to_numpy().astype(np.uint64)
-        for bk in np.unique(b):
-            buf = table.get(int(bk))
-            if buf is None:
-                continue
-            cf = CuckooFilter.from_bytes(buf)
-            sel = b == bk
-            out[sel] = cf.contains(u1[sel], u2[sel])
-        return pd.Series(out)
+    def probe(pdf: pd.DataFrame, ck_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        if len(pdf) == 0:
+            out[out_col] = pd.Series([], dtype=bool)
+            return out
+        if len(ck_pdf) == 0:
+            out[out_col] = False
+            return out
+        cf = CuckooFilter.from_bytes(ck_pdf["table"].iloc[0])
+        u1 = pdf["h1"].to_numpy().astype(np.uint64)
+        u2 = pdf["h2"].to_numpy().astype(np.uint64)
+        out[out_col] = cf.contains(u1, u2)
+        return out
 
-    return df.withColumn(out_col, probe("bucket", "h1", "h2"))
+    return (
+        df.groupBy("bucket")
+        .cogroup(cuckoo_table.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------
