@@ -117,17 +117,16 @@ class FrontierDriver:
 
         def finish_counters() -> dict[str, int]:
             spans, med, rob = obs_spans.get, obs_media.get, obs_robots.get
+            g = lambda d, k: int(d.get(k) or 0)  # empty rounds observe None
             counters = {
-                k: int(med[k])
+                k: g(med, k)
                 for k in ("valid_ref", "empty_ref", "url_too_long", "a_not_image",
                           "css_already_parsed")
-                if med[k]
+                if g(med, k)
             }
-            counters["not_media"] = int(spans["spans_total"] - med["media_total"])
-            counters["robots_blocked"] = int(rob["robots_blocked"] or 0)
-            counters["round_candidates"] = int(
-                med["valid_ref"] - counters["robots_blocked"]
-            )
+            counters["not_media"] = g(spans, "spans_total") - g(med, "media_total")
+            counters["robots_blocked"] = g(rob, "robots_blocked")
+            counters["round_candidates"] = g(med, "valid_ref") - counters["robots_blocked"]
             return counters
 
         return cand, finish_counters
