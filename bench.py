@@ -140,10 +140,13 @@ def write_scaling_md(pairs: list[tuple[int, dict, int, dict, float]], n_docs: in
     os.makedirs("BENCH", exist_ok=True)
     rows = []
     effs = []
+    seen_legs = set()
     for n, legn, n4, leg4, eff in pairs:
-        fn, f4 = legn["extras"]["frontier"], leg4["extras"]["frontier"]
-        rows.append(f"| local[{n}] | {fn['urls_per_sec']} | {fn['seconds']} |")
-        rows.append(f"| local[{n4}] | {f4['urls_per_sec']} | {f4['seconds']} |")
+        for c, leg in ((n, legn), (n4, leg4)):
+            if c not in seen_legs:
+                seen_legs.add(c)
+                fr = leg["extras"]["frontier"]
+                rows.append(f"| local[{c}] | {fr['urls_per_sec']} | {fr['seconds']} |")
         effs.append(f"- **local[{n}] → local[{n4}] (N vs 4N): efficiency = {eff:.3f}**")
     cands = pairs[-1][3]["extras"]["frontier"]["candidates"]
     with open("BENCH/BASELINE.md", "w") as f:

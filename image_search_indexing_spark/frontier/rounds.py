@@ -63,6 +63,15 @@ class FrontierConfig:
     extra: dict[str, Any] = field(default_factory=dict)
 
 
+def _obs_get(obs) -> dict:
+    """Observation.get, tolerating plans the optimizer collapsed to an
+    empty LocalRelation (the observe node never ran → Spark asserts)."""
+    try:
+        return obs.get
+    except Exception:
+        return {}
+
+
 def _dedup_candidates(cand: DataFrame) -> DataFrame:
     """One deterministic champion per url_hash (A5-A7 tie-break style)."""
     ordk = F.struct(
@@ -116,7 +125,7 @@ class FrontierDriver:
         cand = seenmod.with_hashes(cand, "url_hash", self.cfg.n_buckets).select(*CAND_COLS)
 
         def finish_counters() -> dict[str, int]:
-            spans, med, rob = obs_spans.get, obs_media.get, obs_robots.get
+            spans, med, rob = _obs_get(obs_spans), _obs_get(obs_media), _obs_get(obs_robots)
             g = lambda d, k: int(d.get(k) or 0)  # empty rounds observe None
             counters = {
                 k: g(med, k)
@@ -193,7 +202,12 @@ class FrontierDriver:
         # 2. merge with the carried-over queue, dedup deterministically
         from pyspark.sql import Observation
 
-        n_pend_prev = pending.count() if pending is not None else 0
+        # carried from the parent snapshot's counters — never rescan state
+        # tables for bookkeeping (a count() over a 10^10-row seen table per
+        # round is exactly the scan the metadata exists to avoid)
+        prev_counters = (snap or {}).get("counters", {})
+        n_pend_prev = int(prev_counters.get("pending_after", 0))
+        prev_seen_total = int(prev_counters.get("seen_total", 0))
         if pending is not None:
             cand = cand.unionByName(pending.select(*CAND_COLS))
         cand = _dedup_candidates(cand)
@@ -213,7 +227,7 @@ class FrontierDriver:
         # resolves every observation riding on the pass
         n_sched = scheduled.count()
         counters = finish_counters()
-        n_queue = int(obs_queue.get["n"])
+        n_queue = int(_obs_get(obs_queue).get("n") or 0)
         n_cand = counters["round_candidates"]
 
         # 5. state updates: pending = new − scheduled; seen += scheduled
@@ -252,8 +266,8 @@ class FrontierDriver:
             tables["bloom"] = [bloom_path]
 
         # 6. counters + per-partition lineage (n_pend resolved by the write)
-        n_pend = int(obs_pend.get["n"])
-        seen_total = (seen.count() if seen is not None else 0) + n_sched
+        n_pend = int(_obs_get(obs_pend).get("n") or 0)
+        seen_total = prev_seen_total + n_sched
         counters.update(
             {
                 "queue_after_dedup": int(n_queue),

@@ -118,6 +118,11 @@ class Catalog:
         if not paths:
             return None
         base = os.path.join(self.data_dir, table)
-        df = spark.read.option("basePath", base).parquet(*paths)
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            df = spark.read.option("basePath", base).parquet(*paths)
+        except AnalysisException:
+            return None  # every listed file set is empty (e.g. empty rounds)
         # `round=` is physical layout (snapshot lineage), not table schema
         return df.drop("round")
