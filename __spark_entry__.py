@@ -286,11 +286,36 @@ def _indexer_compact(spark, sf):
     return indexer_compact(spark, sf)
 
 
+def _indexer_full_scalar(spark, sf):
+    """Scalar projection of the FULL indexer output (array columns dropped)
+    so the DuckDB oracle can reproduce it exactly — this pins capture
+    dedup (A3), page-record champions (A4/A6), caption extraction (F11),
+    the nearest-capture as-of assignment (J2/A8) and the metadata-string
+    keying end-to-end."""
+    from image_search_indexing_spark.plans.indexer import indexer_full
+
+    full = indexer_full(spark, sf)
+    return full.select(
+        "surt",
+        "digest",
+        "assigned_img_url",
+        "page_url",
+        "page_ts",
+        "page_ts_newest",
+        "caption",
+        "img_title",
+        F.col("tag_found_in").alias("kind"),
+        "n_metadata_changes",
+        "n_captures",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": _frontier_schedule,
         "indexer_full": _indexer_full,
         "indexer_compact": _indexer_compact,
+        "indexer_full_scalar": _indexer_full_scalar,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -357,6 +382,69 @@ SELECT url_hash, ref_url, surt, host, kind, page_ts, doc_id,
 FROM ranked WHERE queue_pos <= 3 + hid % 8
 """
 
+_INDEXER_FULL_SQL = """
+WITH refs AS (
+  SELECT d.doc_id AS did, d.text, s.i,
+         (d.doc_id*7 + s.i*13) % 500 AS img_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+  WHERE s.i < 1 + d.doc_id % 4
+), pieces AS (  -- text spans: piece j at offset 2j, trimmed
+  SELECT did, i AS j, trim(substr(text, i*37 + 1, 30)) AS piece FROM refs
+), built AS (
+  SELECT r.did, r.i, r.img_id,
+         r.img_id % 40 AS hid,
+         r.did % 40 AS phid,
+         CASE WHEN r.i % 3 = 0 THEN 'img' WHEN r.i % 3 = 1 THEN 'a' ELSE 'css' END AS kind,
+         CASE WHEN (r.img_id % 40) % 3 = 0 THEN 'pt'
+              WHEN (r.img_id % 40) % 3 = 1 THEN 'com' ELSE 'org' END AS tld,
+         CASE WHEN (r.did % 40) % 3 = 0 THEN 'pt'
+              WHEN (r.did % 40) % 3 = 1 THEN 'com' ELSE 'org' END AS ptld,
+         CASE WHEN r.img_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS extn,
+         TIMESTAMP '2016-01-01' + INTERVAL 1 DAY * (r.did % 365)
+                                + INTERVAL 1 SECOND * (r.did % 86400) AS page_ts,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j = r.i) AS selfpiece,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j = r.i + 1) AS adjnext,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j <= r.i AND p.piece <> ''
+          ORDER BY p.j DESC LIMIT 1) AS pvpiece,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j > r.i AND p.piece <> ''
+          ORDER BY p.j ASC LIMIT 1) AS nxpiece
+  FROM refs r
+), pages AS (
+  SELECT *,
+    '(' || tld || ',site' || hid || ',)/img/' || img_id || '.' || extn AS surt,
+    md5('content:' || '/img/' || img_id || '.' || extn) AS digest,
+    'http://www.site' || hid || '.' || tld || '/img/' || img_id || '.' || extn AS ref_url,
+    'http://www.site' || phid || '.' || ptld || '/page/' || did || '.html' AS page_url,
+    img_id || ' ' || extn AS img_title,
+    CASE WHEN coalesce(selfpiece, '') <> '' THEN selfpiece
+         WHEN coalesce(adjnext, '') <> '' THEN adjnext
+         ELSE trim(concat_ws(chr(10), coalesce(pvpiece, ''), coalesce(nxpiece, '')),
+                   ' ' || chr(10))
+    END AS caption
+  FROM built
+), keyed AS (
+  SELECT *,
+         img_title || chr(10) || '' || chr(10) || caption AS metadata_str
+  FROM pages
+), imgs AS (
+  SELECT surt, digest, count(*) AS n_captures FROM keyed GROUP BY surt, digest
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY surt, metadata_str
+                            ORDER BY page_ts, length(page_url), page_url) AS rn,
+         max(page_ts) OVER (PARTITION BY surt, metadata_str) AS page_ts_newest,
+         count(*) OVER (PARTITION BY surt, metadata_str) AS n_metadata_changes
+  FROM keyed
+)
+SELECT r.surt, r.digest,
+       r.ref_url AS assigned_img_url,  -- nearest capture is the own observation
+       r.page_url, r.page_ts, r.page_ts_newest, r.caption, r.img_title,
+       r.kind, r.n_metadata_changes, i.n_captures
+FROM ranked r JOIN imgs i ON r.surt = i.surt AND r.digest = i.digest
+WHERE r.rn = 1
+"""
+
 # word tokens / shingles as reusable SQL fragments (mirror functions/text.py)
 _TOKS = (
     "list_filter(string_split_regex(trim(regexp_replace(lower({c}),"
@@ -375,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
     shingles = _SHINGLES.format(t="toks")
     return {
         "frontier_schedule": _FRONTIER_SQL,
+        "indexer_full_scalar": _INDEXER_FULL_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(round(l_quantity)::BIGINT) AS sum_qty,
