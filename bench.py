@@ -32,7 +32,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "800000"))
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 
 HEADLINE = [
@@ -232,6 +232,16 @@ def main() -> None:
         total = round(sum(queries.values()), 3)
     spark.stop()
 
+    extras = {"frontier": fr, "cpus": CPUS}
+    # surface the recorded N-vs-4N evidence (bench.py --scaling artifact)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH/BASELINE.md")) as f:
+            import re
+
+            effs = re.findall(r"local\[(\d+)\] → local\[(\d+)\].*efficiency = ([0-9.]+)", f.read())
+            extras["scaling"] = {f"{a}_to_{b}": float(e) for a, b, e in effs}
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -240,7 +250,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-                "extras": {"frontier": fr, "cpus": CPUS},
+                "extras": extras,
             }
         )
     )
