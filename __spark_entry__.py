@@ -22,6 +22,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# The driver's canonicalizer sorts the result frame in pandas; list cells
+# are unhashable there, so every query stringifies array columns before
+# returning (mirrored with array_to_string/list comprehensions in DuckDB).
+def _join_ints(col) -> "F.Column":
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+
+def _join_ts(col) -> "F.Column":
+    """array<timestamp> -> 'yyyyMMddHHmmss,...' (archive-ts format, F4)."""
+    return F.array_join(F.transform(col, lambda t: F.date_format(t, "yyyyMMddHHmmss")), ",")
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -71,8 +83,12 @@ def _revenue_e4() -> "F.Column":
     return F.sum(cents * (100 - disc)).alias("revenue_e4")
 
 
+# NOTE: the OUTER ::BIGINT matters — DuckDB sum(BIGINT) returns HUGEINT,
+# which arrives as float64 on the driver's Arrow/pandas hash path and
+# mismatches Spark's int64 even when values are equal.
 _REVENUE_E4_SQL = (
-    "sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))"
+    "sum(round(l_extendedprice * 100)::BIGINT"
+    " * (100 - round(l_discount * 100)::BIGINT))::BIGINT"
 )
 
 
@@ -158,13 +174,15 @@ def _exact_dup_groups(spark, sf):
 def _minhash_lsh_buckets(spark, sf):
     from image_search_indexing_spark.operators.dedup import minhash_lsh_buckets
 
-    return minhash_lsh_buckets(_t(spark, sf, "documents"), k=8, bands=4)
+    out = minhash_lsh_buckets(_t(spark, sf, "documents"), k=8, bands=4)
+    return out.withColumn("doc_ids", _join_ints(F.col("doc_ids")))
 
 
 def _simhash_buckets(spark, sf):
     from image_search_indexing_spark.operators.dedup import simhash_buckets
 
-    return simhash_buckets(_t(spark, sf, "documents"))
+    out = simhash_buckets(_t(spark, sf, "documents"))
+    return out.withColumn("doc_ids", _join_ints(F.col("doc_ids")))
 
 
 def _ngram_jaccard_pairs(spark, sf):
@@ -194,9 +212,12 @@ def _ann_topk_lsh(spark, sf):
     from image_search_indexing_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf, "embeddings")
-    return ann_topk_lsh(
+    out = ann_topk_lsh(
         emb.where(F.col("vec_id") < 16), emb.where(F.col("vec_id") >= 16), dim=64, n_planes=6
     )
+    # rank is fully determined by (sim DESC, neighbor_id); dropping the raw
+    # float keeps the oracle hash clean of summation-order noise
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def _session_stats(spark, sf):
@@ -236,6 +257,7 @@ def _text_stats(spark, sf):
 
 
 def _lang_quality(spark, sf):
+    """lang_id + quality_score (both SQL-expressible → full oracle)."""
     from image_search_indexing_spark.functions import text as TX
 
     d = _t(spark, sf, "documents")
@@ -243,8 +265,15 @@ def _lang_quality(spark, sf):
         "doc_id",
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.quality_score(F.col("text")).alias("quality"),
-        TX.rolling_fingerprint(F.col("text")).alias("fp64"),
     )
+
+
+def _rolling_fp(spark, sf):
+    """xxhash64 content fingerprint — not SQL-expressible, rows-only check."""
+    from image_search_indexing_spark.functions import text as TX
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp64"))
 
 
 def _surt_tokens(spark, sf):
@@ -277,13 +306,20 @@ def _frontier_schedule(spark, sf):
 def _indexer_full(spark, sf):
     from image_search_indexing_spark.plans.indexer import indexer_full
 
-    return indexer_full(spark, sf)
+    out = indexer_full(spark, sf)
+    return out.withColumn("timestamps", _join_ts(F.col("timestamps")))
 
 
 def _indexer_compact(spark, sf):
     from image_search_indexing_spark.plans.indexer import indexer_compact
 
-    return indexer_compact(spark, sf)
+    out = indexer_compact(spark, sf)
+    return (
+        out.withColumn("all_timestamps", _join_ts(F.col("all_timestamps")))
+        .withColumn("titles", F.array_join(F.col("titles"), "|"))
+        .withColumn("alts", F.array_join(F.col("alts"), "|"))
+        .withColumn("captions", F.array_join(F.col("captions"), "|"))
+    )
 
 
 def _indexer_full_scalar(spark, sf):
@@ -334,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anti_orders": _events_anti_orders,
         "text_stats": _text_stats,
         "lang_quality": _lang_quality,
+        "rolling_fp": _rolling_fp,
         "surt_tokens": _surt_tokens,
     }
 
@@ -382,7 +419,10 @@ SELECT url_hash, ref_url, surt, host, kind, page_ts, doc_id,
 FROM ranked WHERE queue_pos <= 3 + hid % 8
 """
 
-_INDEXER_FULL_SQL = """
+# Shared CTE chain mirroring docspans + extract + indexer job 1 (through the
+# per-(surt, metadata_str) page-record champions). Reused by the scalar, FULL
+# and COMPACT oracle selects below.
+_INDEXER_BASE = """
 WITH refs AS (
   SELECT d.doc_id AS did, d.text, s.i,
          (d.doc_id*7 + s.i*13) % 500 AS img_id
@@ -428,7 +468,11 @@ WITH refs AS (
          img_title || chr(10) || '' || chr(10) || caption AS metadata_str
   FROM pages
 ), imgs AS (
-  SELECT surt, digest, count(*) AS n_captures FROM keyed GROUP BY surt, digest
+  SELECT surt, digest, count(*) AS n_captures,
+         array_to_string([strftime(t, '%Y%m%d%H%M%S')
+                          for t in (list(page_ts ORDER BY page_ts))[1:500]],
+                         ',') AS ts_str
+  FROM keyed GROUP BY surt, digest
 ), ranked AS (
   SELECT *,
          row_number() OVER (PARTITION BY surt, metadata_str
@@ -437,12 +481,68 @@ WITH refs AS (
          count(*) OVER (PARTITION BY surt, metadata_str) AS n_metadata_changes
   FROM keyed
 )
+"""
+
+_INDEXER_SCALAR_SQL = _INDEXER_BASE + """
 SELECT r.surt, r.digest,
        r.ref_url AS assigned_img_url,  -- nearest capture is the own observation
        r.page_url, r.page_ts, r.page_ts_newest, r.caption, r.img_title,
        r.kind, r.n_metadata_changes, i.n_captures
 FROM ranked r JOIN imgs i ON r.surt = i.surt AND r.digest = i.digest
 WHERE r.rn = 1
+"""
+
+# FULL output: every page-record champion with its image fields — array
+# columns stringified exactly like the Spark wrapper (_join_ts / url tokens
+# are closed-form on the synthetic corpus).
+_INDEXER_FULL_SQL = _INDEXER_BASE + """
+SELECT r.surt, r.digest,
+       r.ref_url AS assigned_img_url,
+       r.img_title AS img_title_champion,
+       i.ts_str AS timestamps, i.n_captures,
+       r.page_url,
+       'site' || r.phid || '.' || r.ptld AS page_host,
+       r.page_ts, r.page_ts_newest, r.caption, r.img_title,
+       'http www site' || r.hid || ' ' || r.tld || ' img ' || r.img_id
+           || ' ' || r.extn AS img_src_tokens,
+       'http www site' || r.phid || ' ' || r.ptld || ' page ' || r.did
+           || ' html' AS page_url_tokens,
+       r.kind AS tag_found_in,
+       r.n_metadata_changes
+FROM ranked r JOIN imgs i ON r.surt = i.surt AND r.digest = i.digest
+WHERE r.rn = 1
+"""
+
+# COMPACT output (A11/O3): one row per digest with distinct metadata lists.
+# List order: the Spark plan sorts page records by metadata_str (img_title
+# + chr(10) + alt + chr(10) + caption) before array_distinct, and on this
+# corpus img_title is constant per digest and alts empty, so first-occurrence
+# order == plain sorted order — list_sort(list(DISTINCT ...)) matches.
+_INDEXER_COMPACT_SQL = _INDEXER_BASE + """
+, pr AS (SELECT * FROM ranked WHERE rn = 1),
+cp AS (
+  SELECT digest, count(*) AS n_page_records,
+         coalesce(array_to_string(list_sort(list(DISTINCT img_title)
+             FILTER (WHERE img_title IS NOT NULL AND img_title <> '')), '|'),
+           '') AS titles,
+         '' AS alts,
+         coalesce(array_to_string(list_sort(list(DISTINCT caption)
+             FILTER (WHERE caption IS NOT NULL AND caption <> '')), '|'),
+           '') AS captions,
+         arg_min(page_url, metadata_str) AS first_page_url,
+         arg_min(page_ts, metadata_str) AS first_page_ts
+  FROM pr GROUP BY digest),
+ic AS (
+  SELECT digest, min(surt) AS surt, min(ref_url) AS img_url,
+         count(*) AS total_captures,
+         array_to_string([strftime(t, '%Y%m%d%H%M%S')
+                          for t in (list(page_ts ORDER BY page_ts))[1:500]],
+                         ',') AS all_timestamps
+  FROM keyed GROUP BY digest)
+SELECT ic.digest, ic.surt, ic.img_url, ic.all_timestamps, ic.total_captures,
+       cp.n_page_records, cp.titles, cp.alts, cp.captions,
+       cp.first_page_url, cp.first_page_ts
+FROM ic JOIN cp ON ic.digest = cp.digest
 """
 
 # word tokens / shingles as reusable SQL fragments (mirror functions/text.py)
@@ -458,18 +558,112 @@ _SHINGLES = (
 )
 
 
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, seed: int = 7, k: int = 5) -> str:
+    """DuckDB oracle for ann_topk_lsh: the hyperplane coefficients are
+    deterministic ±1 literals (xxhash64-derived, operators/similarity.py),
+    so the exact same signatures are reproducible in SQL."""
+    from image_search_indexing_spark.functions.hashing import xxhash64
+
+    def bucket(col: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            coeffs = ",".join(
+                "1.0" if xxhash64(f"{seed}:{p}:{i}") % 2 == 0 else "-1.0" for i in range(dim)
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{coeffs}]) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 16),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id >= 16),
+        qb AS (SELECT query_id, qv, {bucket('qv')} AS bucket FROM q),
+        cb AS (SELECT neighbor_id, cv, {bucket('cv')} AS bucket FROM c),
+        scored AS (
+          SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+          FROM cb JOIN qb USING (bucket))
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _lang_quality_sql() -> str:
+    """DuckDB oracle for lang_id + quality_score, stopword literals inlined
+    from functions/text.py. Every float op mirrors the Spark expression
+    order (all constants ::DOUBLE — bare 0.4 is DECIMAL in DuckDB)."""
+    from image_search_indexing_spark.functions.text import _STOPWORDS
+
+    toks = _TOKS.format(c="text")
+    langs = sorted(_STOPWORDS)  # de, en, es, fr, pt — Spark ties break to first
+    score_cols = ", ".join(
+        "len(list_intersect(toks, [{}])) AS s_{}".format(
+            ",".join(f"'{w}'" for w in _STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    all_stop = ",".join(f"'{w}'" for ws in _STOPWORDS.values() for w in sorted(set(ws)))
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    pick = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, text, {toks} AS toks FROM documents),
+        scored AS (
+          SELECT doc_id, text, toks, {score_cols},
+                 len(toks) AS n_tokens, length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\\p{{L}}')) AS n_alpha,
+                 len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct,
+                 len(list_intersect(toks, [{all_stop}])) AS n_stop
+          FROM tok),
+        m AS (SELECT *, {best} AS m FROM scored),
+        ratios AS (
+          SELECT doc_id, text, m,
+                 CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars
+                      ELSE 0.0::DOUBLE END AS alpha_ratio,
+                 CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars
+                      ELSE 0.0::DOUBLE END AS punct_ratio,
+                 CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens
+                      ELSE 0.0::DOUBLE END AS stop_ratio,
+                 least(n_tokens::DOUBLE / 64.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+                 {pick.replace('WHEN', 'CASE WHEN', 1)} END AS best_lang
+          FROM m)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN m > 0 THEN best_lang ELSE 'und' END AS lang_pred,
+               round(0.4::DOUBLE * alpha_ratio
+                     + 0.3::DOUBLE * least(stop_ratio * 4, 1.0::DOUBLE)
+                     + 0.2::DOUBLE * len_score
+                     + 0.1::DOUBLE * (1.0::DOUBLE - least(punct_ratio * 5,
+                                                          1.0::DOUBLE)),
+                     6) AS quality
+        FROM ratios
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS.format(c="text")
     shingles = _SHINGLES.format(t="toks")
     return {
         "frontier_schedule": _FRONTIER_SQL,
-        "indexer_full_scalar": _INDEXER_FULL_SQL,
+        "indexer_full_scalar": _INDEXER_SCALAR_SQL,
+        "indexer_full": _INDEXER_FULL_SQL,
+        "indexer_compact": _INDEXER_COMPACT_SQL,
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "lang_quality": _lang_quality_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(round(l_quantity)::BIGINT) AS sum_qty,
-                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_price_cents,
+                   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                     AS sum_base_price_cents,
                    sum(round(l_extendedprice * 100)::BIGINT
-                       * (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_price_e4,
+                       * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+                     AS sum_disc_price_e4,
                    round(sum(round(l_quantity)::BIGINT)::DOUBLE / count(*), 6) AS avg_qty,
                    round(sum(round(l_discount * 100)::BIGINT)::DOUBLE
                          / count(*) / 100, 6) AS avg_disc,
@@ -560,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
                      md5(mh[2*b + 1] || '|' || mh[2*b + 2]) AS band_hash
               FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))
             SELECT band, band_hash, count(*) AS n_docs,
-                   list_sort(list(doc_id)) AS doc_ids
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
             FROM bands GROUP BY band, band_hash HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": f"""
@@ -604,14 +798,14 @@ def oracle_sql() -> dict[str, str]:
               FROM s),
             per AS (SELECT user_id, session_id, count(*) AS n
                     FROM sess GROUP BY user_id, session_id)
-            SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+            SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
                    max(n) AS max_session_events
             FROM per GROUP BY user_id
         """,
         "hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   sum(round(value * 100)::BIGINT) AS sum_value_cents
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "events_anti_orders": """

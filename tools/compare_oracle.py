@@ -1,18 +1,26 @@
 """Driver-style correctness harness: run each __spark_entry__ query on
 Spark AND its oracle SQL on DuckDB over the same parquet, compare
-row-count + schema + order-insensitive values. Mirrors what the driver's
-CORRECTNESS gate does, so failures surface before the round runs.
+row-count + schema + order-insensitive values.
+
+Faithful to the driver's CORRECTNESS gate (learned from round 1):
+- both sides travel the **pandas/Arrow path** (`.toPandas()` / `.df()`):
+  DuckDB HUGEINT sums arrive as float64 here and MUST mismatch an int64,
+  exactly like the driver's value hash does (`fetchall()` hid this);
+- canonicalization is a pandas `sort_values` over every column sorted by
+  name — list-typed cells raise `unhashable type: 'list'` exactly like
+  the driver's `_canon` (queries must stringify array outputs);
+- values compare exactly (dtype-sensitive), floats bit-for-bit.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
-from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -21,25 +29,30 @@ import __spark_entry__ as E  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return datetime(v.year, v.month, v.day).isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if hasattr(v, "item"):  # numpy scalar
-        return norm(v.item())
-    return v
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's _canon: columns sorted by name, rows lexsorted.
+
+    Raises TypeError on list-typed cells — that is the point."""
+    cols = sorted(df.columns)
+    out = df[cols]
+    if len(out):
+        out = out.sort_values(by=cols, kind="mergesort")
+    return out.reset_index(drop=True)
 
 
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+def cells_equal(a, b) -> bool:
+    if a is None or b is None or a is pd.NaT or b is pd.NaT:
+        return (a is None or a is pd.NaT) and (b is None or b is pd.NaT)
+    fa, fb = isinstance(a, (float, np.floating)), isinstance(b, (float, np.floating))
+    if fa != fb:  # int64 vs float64 = driver hash mismatch
+        return False
+    if fa and fb:
+        if np.isnan(a) and np.isnan(b):
+            return True
+        return float(a) == float(b)
+    if isinstance(a, (pd.Timestamp, np.datetime64)) or isinstance(b, (pd.Timestamp, np.datetime64)):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    return a == b
 
 
 def main():
@@ -58,41 +71,49 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            spdf = canon(fn(spark, sf_dir).toPandas())
+        except Exception as ex:
+            print(f"{name:32s} SPARK/CANON ERROR: {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
         if name not in sqls:
-            print(f"{name:32s} rows-only: {len(srows)} rows (no oracle SQL)")
+            print(f"{name:32s} rows-only: {len(spdf)} rows (no oracle SQL)")
             continue
         try:
-            res = con.execute(sqls[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dkdf = canon(con.execute(sqls[name]).df())
         except Exception as ex:
-            print(f"{name:32s} ORACLE SQL ERROR: {ex}")
+            print(f"{name:32s} ORACLE SQL/CANON ERROR: {type(ex).__name__}: {ex}")
             failures += 1
             continue
-        ok_schema = sorted(scols) == sorted(dcols)
-        a, b = rowset(scols, [tuple(r) for r in srows]), rowset(dcols, drows)
-        ok_rows = len(a) == len(b)
-        ok_vals = a == b
-        status = "OK" if (ok_schema and ok_rows and ok_vals) else "FAIL"
-        if status == "FAIL":
-            failures += 1
-            print(f"{name:32s} FAIL schema={ok_schema} rows={len(a)}/{len(b)} vals={ok_vals}")
-            if not ok_schema:
-                print("  spark cols:", sorted(scols), " duck cols:", sorted(dcols))
-            if ok_schema:
-                for x, y in zip(a, b):
-                    if x != y:
-                        print("  first diff:\n   spark:", x, "\n   duck: ", y)
+        ok_schema = list(spdf.columns) == list(dkdf.columns)
+        ok_rows = len(spdf) == len(dkdf)
+        ok_vals = False
+        first_diff = None
+        if ok_schema and ok_rows:
+            ok_vals = True
+            sv, dv = spdf.to_numpy(dtype=object), dkdf.to_numpy(dtype=object)
+            for i in range(len(sv)):
+                for j in range(sv.shape[1]):
+                    if not cells_equal(sv[i, j], dv[i, j]):
+                        ok_vals = False
+                        first_diff = (i, spdf.columns[j], sv[i, j], dv[i, j])
                         break
-                if len(a) != len(b):
-                    sa, sb = set(a), set(b)
-                    print("  only-spark:", list(sa - sb)[:2])
-                    print("  only-duck:", list(sb - sa)[:2])
+                if not ok_vals:
+                    break
+        if ok_schema and ok_rows and ok_vals:
+            print(f"{name:32s} OK ({len(spdf)} rows)")
         else:
-            print(f"{name:32s} OK ({len(a)} rows)")
+            failures += 1
+            print(f"{name:32s} FAIL schema={ok_schema} rows={len(spdf)}/{len(dkdf)}")
+            if not ok_schema:
+                print("  spark cols:", list(spdf.columns), "\n  duck cols: ", list(dkdf.columns))
+            elif not ok_rows:
+                pass
+            elif first_diff:
+                i, c, x, y = first_diff
+                print(f"  first diff row {i} col {c}:\n   spark: {x!r} ({type(x).__name__})"
+                      f"\n   duck:  {y!r} ({type(y).__name__})")
     spark.stop()
     sys.exit(1 if failures else 0)
 
