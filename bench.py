@@ -53,20 +53,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def corpus_dir(n_docs: int) -> str:
-    return f"/tmp/isis_bench_corpus_{n_docs}_seed42"
+def bench_gen_config(n_docs: int):
+    from image_search_indexing_spark.frontier.datagen import GenConfig
+
+    return GenConfig(n_docs=n_docs, n_hosts=2000, dup_rate=0.25)
+
+
+def corpus_dir(cfg) -> str:
+    # key the cache on the FULL generator config — changing any knob
+    # (hosts, dup_rate, seed, ...) must not silently reuse a stale corpus
+    import dataclasses
+    import hashlib
+
+    tag = hashlib.md5(repr(dataclasses.asdict(cfg)).encode()).hexdigest()[:10]
+    return f"/tmp/isis_bench_corpus_{cfg.n_docs}_{tag}"
 
 
 def ensure_corpus(spark, n_docs: int) -> str:
-    from image_search_indexing_spark.frontier.datagen import GenConfig, write_corpus
+    from image_search_indexing_spark.frontier.datagen import write_corpus
 
-    d = corpus_dir(n_docs)
+    cfg = bench_gen_config(n_docs)
+    d = corpus_dir(cfg)
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
     log(f"generating bench corpus ({n_docs} docs) -> {d}")
     shutil.rmtree(d, ignore_errors=True)
-    write_corpus(spark, GenConfig(n_docs=n_docs, n_hosts=2000, dup_rate=0.25), d)
+    write_corpus(spark, cfg, d)
     open(marker, "w").write("ok")
     return d
 

@@ -33,11 +33,14 @@ from pyspark.sql import functions as F
 from ..sources.catalog import Catalog
 from . import extract, politeness as pol, seen as seenmod
 
+# Columns carried through the url_hash dedup shuffle and the pending queue.
+# Deliberately WITHOUT `surt` and `host`: both are pure derivations of
+# ref_url (functions/urls.py), so they are recomputed after the shuffle
+# instead of tripling the string bytes through every exchange — at 10^10
+# URLs the dedup shuffle is the round's dominant byte mover.
 CAND_COLS = [
     "url_hash",
     "ref_url",
-    "surt",
-    "host",
     "kind",
     "priority",
     "page_ts",
@@ -57,9 +60,16 @@ class FrontierConfig:
     default_budget: int = 5
     default_priority: int = 9
     bits_per_key: int = 12
-    expected_per_bucket: int = 4096  # Bloom sizing: fixed m per run → OR-mergeable
+    expected_per_bucket: int = 4096  # Bloom sizing: per-bucket m recorded in the table
     spans_cap: int = extract.MAX_IMAGE_IN_HTML
     use_bloom: bool = True
+    # rebuild a bucket's Bloom at 4x m once n_items exceeds this load factor
+    # of its sized capacity (m / bits_per_key) — keeps fpp bounded when the
+    # seen set outgrows the initial sizing by orders of magnitude
+    bloom_rebuild_load: float = 0.5
+    # pending queue is delta-appended; compact (fold deltas + drop seen) when
+    # the manifest lists this many delta files for it
+    pending_compact_every: int = 8
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -73,16 +83,22 @@ def _obs_get(obs) -> dict:
 
 
 def _dedup_candidates(cand: DataFrame) -> DataFrame:
-    """One deterministic champion per url_hash (A5-A7 tie-break style)."""
+    """One deterministic champion per url_hash (A5-A7 tie-break style).
+
+    ``__is_new``, when present, marks rows observed THIS round (vs rows
+    read back from pending deltas); the group keeps max(__is_new) so the
+    round driver knows which champions carry a fresh observation."""
     ordk = F.struct(
         F.col("priority"), F.col("page_ts"), F.length("ref_url"), F.col("ref_url"),
         F.col("doc_id"), F.col("offset"),
     )
-    return (
-        cand.groupBy("url_hash")
-        .agg(F.min_by(F.struct(*[c for c in CAND_COLS if c != "url_hash"]), ordk).alias("c"))
-        .select("url_hash", "c.*")
-    )
+    aggs = [F.min_by(F.struct(*[c for c in CAND_COLS if c != "url_hash"]), ordk).alias("c")]
+    flagged = "__is_new" in cand.columns
+    if flagged:
+        aggs.append(F.max("__is_new").alias("__is_new"))
+    out = cand.groupBy("url_hash").agg(*aggs)
+    cols = ["url_hash", "c.*"] + (["__is_new"] if flagged else [])
+    return out.select(*cols)
 
 
 class FrontierDriver:
@@ -140,9 +156,10 @@ class FrontierDriver:
 
         return cand, finish_counters
 
-    def _bloom_delta(self, newly_seen: DataFrame) -> DataFrame:
+    def _bloom_delta(self, newly_seen: DataFrame, m_by_bucket: dict[int, int] | None) -> DataFrame:
         return seenmod.build_bloom_table(
-            newly_seen, self.cfg.n_buckets, self.cfg.bits_per_key, self.cfg.expected_per_bucket
+            newly_seen, self.cfg.n_buckets, self.cfg.bits_per_key,
+            self.cfg.expected_per_bucket, m_by_bucket=m_by_bucket,
         )
 
     @staticmethod
@@ -153,6 +170,14 @@ class FrontierDriver:
         import pandas as pd
 
         def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf["m"].nunique() > 1 or pdf["k"].nunique() > 1:
+                raise ValueError(
+                    "bloom sizing config changed across rounds for bucket "
+                    f"{int(pdf['bucket'].iloc[0])}: m={sorted(pdf['m'].unique())} "
+                    f"k={sorted(pdf['k'].unique())}; OR-merge needs one (m, k) — "
+                    "resume with the original expected_per_bucket/bits_per_key "
+                    "or rebuild the filters from the seen table"
+                )
             bits = None
             for buf in pdf["bits"]:
                 arr = np.frombuffer(buf, dtype=np.uint64)
@@ -198,8 +223,13 @@ class FrontierDriver:
         # 1. this round's arriving documents (closed-world fetch simulation)
         rdocs = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_rounds)) == round_id)
         cand, finish_counters = self._candidates(rdocs, meta, seeds, robots)
+        cand = cand.withColumn("__is_new", F.lit(1))
 
-        # 2. merge with the carried-over queue, dedup deterministically
+        # 2. merge with the carried-over queue, dedup deterministically.
+        # The pending queue is a list of append-only DELTA files (plus an
+        # occasional compaction) — rows already scheduled in later rounds
+        # remain in old deltas and are dropped here by the seen filter, so
+        # per-round pending WRITE IO is O(new discoveries), not O(queue).
         from pyspark.sql import Observation
 
         # carried from the parent snapshot's counters — never rescan state
@@ -209,15 +239,29 @@ class FrontierDriver:
         n_pend_prev = int(prev_counters.get("pending_after", 0))
         prev_seen_total = int(prev_counters.get("seen_total", 0))
         if pending is not None:
-            cand = cand.unionByName(pending.select(*CAND_COLS))
+            cand = cand.unionByName(
+                pending.select(*CAND_COLS).withColumn("__is_new", F.lit(0))
+            )
         cand = _dedup_candidates(cand)
         obs_queue = Observation()
-        cand = cand.observe(obs_queue, F.count(F.lit(1)).alias("n")).persist()
+        cand = cand.observe(
+            obs_queue, F.count(F.lit(1)).alias("n"), F.sum("__is_new").alias("n_new")
+        ).persist()
 
         # 3. seen-set filter (bloom prefilter routes; exact join decides)
         new_urls = seenmod.filter_new_urls(
             spark, cand, seen, bloom, key="url_hash", n_buckets=cfg.n_buckets
-        ).persist()
+        )
+        obs_live = Observation()
+        new_urls = new_urls.observe(
+            obs_live, F.count(F.lit(1)).alias("n"), F.sum("__is_new").alias("n_new")
+        )
+        # host is a pure derivation of ref_url, recomputed AFTER the dedup
+        # shuffle + seen filter (politeness is the first consumer) — the
+        # dedup exchange and the pending files carry no host/surt strings
+        from ..functions import urls as U
+
+        new_urls = new_urls.withColumn("host", U.url_host(F.col("ref_url"))).persist()
 
         # 4. politeness scheduling (skew-salted two-phase top-k)
         scheduled = pol.schedule_round(
@@ -227,61 +271,112 @@ class FrontierDriver:
         # resolves every observation riding on the pass
         n_sched = scheduled.count()
         counters = finish_counters()
-        n_queue = int(_obs_get(obs_queue).get("n") or 0)
+        qd, live = _obs_get(obs_queue), _obs_get(obs_live)
+        n_merged_new = int(qd.get("n_new") or 0)  # champions w/ a fresh observation
+        n_live = int(live.get("n") or 0)  # live queue size (post seen filter)
+        n_live_new = int(live.get("n_new") or 0)
+        # live queue + fresh champions the seen filter dropped == the oracle's
+        # "merged queue" (stale delta rows are invisible to it)
+        n_queue = n_live + (n_merged_new - n_live_new)
         n_cand = counters["round_candidates"]
 
-        # 5. state updates: pending = new − scheduled; seen += scheduled
-        obs_pend = Observation()
-        pending_next = (
-            new_urls.join(scheduled.select("url_hash"), "url_hash", "left_anti")
-            .select(*CAND_COLS)
-            .observe(obs_pend, F.count(F.lit(1)).alias("n"))
+        # 5. state updates: pending += delta (new − scheduled); seen += scheduled
+        newly_seen = scheduled.select("url_hash", "h1", "h2", "bucket").withColumn(
+            "seen_round", F.lit(round_id)
         )
-        newly_seen = scheduled.select(
-            "url_hash", "surt", "ref_url", "host", "h1", "h2", "bucket"
-        ).withColumn("seen_round", F.lit(round_id))
 
         tables: dict[str, list[str]] = dict((snap or {}).get("tables", {}))
+        batch = scheduled.withColumn("surt", U.surt(F.col("ref_url"))).select(
+            "url_hash", "ref_url", "surt", "host", "kind", "priority", "page_ts",
+            "doc_id", "offset", "queue_pos", "fetch_delay_ms",
+        )
         batch_path = cat.write_table(
-            scheduled.select(
-                "url_hash", "ref_url", "surt", "host", "kind", "priority", "page_ts",
-                "doc_id", "offset", "queue_pos", "fetch_delay_ms",
-            ).sortWithinPartitions("host", "queue_pos"),
-            f"fetch_batch_{round_id}", round_id,
+            batch.sortWithinPartitions("host", "queue_pos"), f"fetch_batch_{round_id}", round_id
         )
         tables[f"fetch_batch_{round_id}"] = [batch_path]
-        # one file per bucket dir (vs n_tasks × n_buckets small files)
+        # one file per bucket dir (vs n_tasks × n_buckets small files).
+        # seen stores only the membership key + hash/bucket columns — URL
+        # strings live in the fetch_batch tables (the crawl log); at 10^10
+        # rows the string columns would triple the table for no reader.
         seen_path = cat.write_table(
             newly_seen.repartition(cfg.n_buckets, "bucket"),
             "seen", round_id, partition_by=["bucket"],
         )
         tables["seen"] = tables.get("seen", []) + [seen_path]  # append (Iceberg add-files)
-        pend_path = cat.write_table(pending_next, "pending", round_id)
-        tables["pending"] = [pend_path]  # full replace each round
+
+        pend_paths = list(tables.get("pending", []))
+        not_scheduled = lambda df: df.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        )
+        if len(pend_paths) >= cfg.pending_compact_every - 1:
+            # compaction round: fold every delta + drop scheduled/seen rows
+            # into one table (amortized — most rounds write only the delta)
+            pend_df = not_scheduled(new_urls).select(*CAND_COLS)
+            tables["pending"] = [cat.write_table(pend_df, "pending", round_id)]
+            counters["pending_compacted"] = 1
+        else:
+            delta_pend = not_scheduled(new_urls.where(F.col("__is_new") == 1)).select(
+                *CAND_COLS
+            )
+            tables["pending"] = pend_paths + [
+                cat.write_table(delta_pend, "pending", round_id)
+            ]
+
+        # per-partition lineage (also feeds the bloom capacity arithmetic)
+        lineage_rows = newly_seen.groupBy("bucket").count().orderBy("bucket").collect()
+        delta_n = {int(r["bucket"]): int(r["count"]) for r in lineage_rows}
 
         if cfg.use_bloom:
-            delta = self._bloom_delta(newly_seen)  # carries (bucket, h1, h2)
+            # per-bucket (m, n_items) of the filters on disk — n_buckets rows,
+            # column-pruned (the bits stay on disk)
+            old_stats: dict[int, tuple[int, int]] = {}
+            if bloom is not None:
+                old_stats = {
+                    int(r["bucket"]): (int(r["m"]), int(r["n_items"]))
+                    for r in bloom.select("bucket", "m", "n_items").collect()
+                }
+            m_by_bucket = {b: m for b, (m, _) in old_stats.items()}
+            delta = self._bloom_delta(newly_seen, m_by_bucket)  # (bucket, h1, h2)
             merged = self._merge_blooms(bloom, delta)
+            # capacity policy: once a bucket's item count exceeds
+            # bloom_rebuild_load of its sized capacity (m / bits_per_key),
+            # rebuild that bucket from the exact seen table at 4x the size.
+            # Pure metadata arithmetic — no filter is materialized to decide.
+            default_m = seenmod._bloom_params(cfg.expected_per_bucket, cfg.bits_per_key)[0]
+            over: dict[int, int] = {}
+            for b in set(old_stats) | set(delta_n):
+                m = old_stats.get(b, (default_m, 0))[0]
+                n_tot = old_stats.get(b, (0, 0))[1] + delta_n.get(b, 0)
+                if n_tot * cfg.bits_per_key > cfg.bloom_rebuild_load * m:
+                    over[b] = n_tot
+            if over:
+                seen_all = cat.read_table(spark, "seen", {"tables": tables})
+                m_new = {
+                    b: seenmod._bloom_params(4 * n, cfg.bits_per_key)[0]
+                    for b, n in over.items()
+                }
+                rebuilt = seenmod.build_bloom_table(
+                    seen_all.where(F.col("bucket").isin(*over)),
+                    cfg.n_buckets, cfg.bits_per_key, m_by_bucket=m_new,
+                )
+                merged = merged.where(~F.col("bucket").isin(*over)).unionByName(rebuilt)
+                counters["bloom_rebuilt_buckets"] = len(over)
             bloom_path = cat.write_table(merged, "bloom", round_id)
             tables["bloom"] = [bloom_path]
 
-        # 6. counters + per-partition lineage (n_pend resolved by the write)
-        n_pend = int(_obs_get(obs_pend).get("n") or 0)
+        # 6. counters (oracle-equal semantics; see frontier/oracle.py)
         seen_total = prev_seen_total + n_sched
         counters.update(
             {
                 "queue_after_dedup": int(n_queue),
                 "dup_dropped": int(n_cand + n_pend_prev - n_queue),
                 "scheduled": int(n_sched),
-                "pending_after": int(n_pend),
+                "pending_after": int(n_live - n_sched),
                 "seen_total": int(seen_total),
             }
         )
-        lineage_rows = (
-            newly_seen.groupBy("bucket").count().orderBy("bucket").collect()
-        )
         lineage = {
-            "seen_rows_per_bucket": {int(r["bucket"]): int(r["count"]) for r in lineage_rows},
+            "seen_rows_per_bucket": delta_n,
             "round": round_id,
         }
         cat.commit(round_id, tables, counters, lineage, parent)
@@ -313,3 +408,19 @@ class FrontierDriver:
 
     def seen_table(self) -> DataFrame | None:
         return self.catalog.read_table(self.spark, "seen")
+
+    def pending_live(self) -> DataFrame | None:
+        """The LIVE pending queue: delta files folded to champions, rows
+        scheduled in the meantime (now in ``seen``) dropped — the same view
+        a round's step 2+3 reconstructs, and what compaction materializes."""
+        snap = self.catalog.snapshot()
+        if snap is None:
+            return None
+        pending = self.catalog.read_table(self.spark, "pending", snap)
+        if pending is None:
+            return None
+        live = _dedup_candidates(pending.select(*CAND_COLS))
+        seen = self.catalog.read_table(self.spark, "seen", snap)
+        if seen is not None:
+            live = live.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return live

@@ -85,17 +85,32 @@ def bloom_contains(bits_buf: bytes, h1: np.ndarray, h2: np.ndarray, m: int, k: i
 
 
 def build_bloom_table(
-    seen: DataFrame, n_buckets: int, bits_per_key: int = 12, expected_per_bucket: int | None = None
+    seen: DataFrame,
+    n_buckets: int,
+    bits_per_key: int = 12,
+    expected_per_bucket: int | None = None,
+    m_by_bucket: dict[int, int] | None = None,
 ) -> DataFrame:
     """Per-bucket Bloom rows from a seen table carrying (h1, h2, bucket).
 
     Partial+final pattern (reference A1's map-side pre-agg analog): each
     bucket's filter is built where its rows live after one hash shuffle.
+
+    ``m_by_bucket`` pins specific buckets to an existing filter size so the
+    delta OR-merges with filters already on disk (buckets grow independently
+    via the rebuild policy in rounds.py); unlisted buckets size from
+    ``expected_per_bucket``. The dict is tiny (n_buckets entries) and ships
+    in the task closure.
     """
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        m, k = _bloom_params(expected_per_bucket or max(n, 1), bits_per_key)
+        b = int(pdf["bucket"].iloc[0])
+        if m_by_bucket and b in m_by_bucket:
+            m = int(m_by_bucket[b])
+            k = max(1, int(round(bits_per_key * math.log(2))))
+        else:
+            m, k = _bloom_params(expected_per_bucket or max(n, 1), bits_per_key)
         h1 = pdf["h1"].to_numpy().astype(np.uint64)
         h2 = pdf["h2"].to_numpy().astype(np.uint64)
         return pd.DataFrame(

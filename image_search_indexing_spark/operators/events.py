@@ -18,13 +18,15 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Assign gap-based session ids per user; returns events + session_id.
 
     session boundary = gap since previous event > gap_minutes. One shuffle
     on user_col; session_id = cumulative boundary count (1-based).
+    ``id_col`` is the deterministic tie-break for ts-equal rows.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_ts = F.lag(ts_col).over(w)
     # NTZ parquet timestamps: go via LTZ (session tz = UTC) to epoch seconds
     to_s = lambda c: c.cast("timestamp_ltz").cast("long")

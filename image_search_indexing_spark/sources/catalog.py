@@ -12,8 +12,10 @@ catalog abstraction with Iceberg's *semantics* (SURVEY.md §7.2):
   per table (a manifest — readers never glob), per-partition lineage
   (rows per bucket per round) and the round's counters.
 - **atomic commit**: ``metadata/version-hint.txt`` is replaced by
-  write-to-temp + ``os.replace`` (POSIX-atomic), so a killed job never
-  exposes a half-written snapshot — resume reads the last committed one.
+  write-to-temp + fsync + ``os.replace`` + directory fsync, so a killed
+  job never exposes a half-written snapshot, and a power/page-cache loss
+  cannot leave the hint pointing at a snapshot json that is not on disk
+  (the durability contract Iceberg's HadoopTableOperations provides).
 
 Swap-in of real Iceberg (``spark.read.format("iceberg")`` + snapshot
 pinning) is a drop-in replacement for this class when the runtime jars are
@@ -94,16 +96,23 @@ class Catalog:
             "lineage": lineage,
         }
         snap_path = os.path.join(self.meta_dir, f"snapshot-{sid}.json")
-        tmp = snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f, indent=1, sort_keys=True)
-        os.replace(tmp, snap_path)
-
-        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(sid))
-        os.replace(tmp, self._hint_path())
+        self._durable_replace(snap_path, json.dumps(snap, indent=1, sort_keys=True))
+        self._durable_replace(self._hint_path(), str(sid))
         return sid
+
+    def _durable_replace(self, path: str, content: str) -> None:
+        """write-temp + fsync + rename + dir fsync: atomic AND durable."""
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dir_fd = os.open(os.path.dirname(path), os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
 
     # -- reads ----------------------------------------------------------------
 

@@ -88,9 +88,28 @@ def test_seen_set_matches_oracle(engine_and_oracle):
 
 def test_pending_matches_oracle(spark, engine_and_oracle):
     drv, _, state = engine_and_oracle
-    pend = drv.catalog.read_table(spark, "pending")
+    pend = drv.pending_live()
     got = {r["url_hash"] for r in pend.select("url_hash").collect()}
     assert got == set(state.pending)
+    # champion rows (not just membership) must match the oracle queue
+    got_rows = {
+        r["url_hash"]: (r["ref_url"], r["priority"], r["doc_id"], r["offset"])
+        for r in pend.collect()
+    }
+    want_rows = {
+        h: (row["ref_url"], row["priority"], row["doc_id"], row["offset"])
+        for h, row in state.pending.items()
+    }
+    assert got_rows == want_rows
+
+
+def test_pending_is_delta_appended(spark, engine_and_oracle):
+    """Per-round pending writes are DELTAS (append-only manifest entries),
+    not full queue rewrites — the per-round write-IO scale contract."""
+    drv, _, _ = engine_and_oracle
+    snap = drv.catalog.snapshot()
+    # 3 rounds below the compaction threshold → 3 listed delta paths
+    assert len(snap["tables"]["pending"]) == N_ROUNDS
 
 
 def test_counters_match_oracle(engine_and_oracle):

@@ -25,12 +25,16 @@ def test_politeness_budgets_broadcast(spark, corpus):
     from image_search_indexing_spark.frontier.rounds import CAND_COLS, _dedup_candidates
 
     refs = extract_refs(corpus["docs"], corpus["meta"], features="frontier")
+    from image_search_indexing_spark.functions import urls as U
+
     cand = with_hashes(
         refs.where(F.col("drop_reason").isNull()).withColumn("priority", F.lit(9)),
         "url_hash",
         16,
     ).select(*CAND_COLS)
-    sched = pol.schedule_round(_dedup_candidates(cand), corpus["politeness"])
+    # host is recomputed post-dedup (CAND_COLS carries no host/surt strings)
+    deduped = _dedup_candidates(cand).withColumn("host", U.url_host(F.col("ref_url")))
+    sched = pol.schedule_round(deduped, corpus["politeness"])
     plan = _plan(sched)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # robots rules also broadcast

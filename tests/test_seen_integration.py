@@ -40,3 +40,36 @@ def test_cuckoo_deletions_resurrect(spark):
     # tombstones remain ground truth even without the cuckoo accelerator
     new2 = filter_new_urls(spark, cand, seen, bloom, tomb, None, n_buckets=16)
     assert {r["url_hash"] for r in new.collect()} == {r["url_hash"] for r in new2.collect()}
+
+
+def test_bloom_rebuild_keeps_fpp_bounded(spark, corpus, tmpdir_path):
+    """Capacity policy (rounds.py): filters sized for ~8 items/bucket get
+    ~50x that inserted across rounds; overfull buckets must be rebuilt at a
+    larger m from the exact seen table, keeping the false-positive rate of
+    fresh probes under 2% (without rebuild it would be ~99% here)."""
+    from image_search_indexing_spark.frontier.rounds import FrontierConfig, FrontierDriver
+    from image_search_indexing_spark.frontier.seen import bloom_probe
+
+    cfg = FrontierConfig(
+        n_rounds=3, n_buckets=2, expected_per_bucket=8, default_budget=1 << 30
+    )
+    drv = FrontierDriver(spark, f"{tmpdir_path}/bloomcap", cfg)
+    counters = drv.run(corpus["docs"], corpus["meta"], None, None, None, n_rounds=3)
+    assert any(c.get("bloom_rebuilt_buckets", 0) > 0 for c in counters)
+
+    bloom = drv.catalog.read_table(spark, "bloom")
+    stats = {int(r["bucket"]): (int(r["m"]), int(r["n_items"])) for r in bloom.collect()}
+    # every bucket ends within its load budget (n * bits_per_key <= load * m)
+    for b, (m, n) in stats.items():
+        assert n * cfg.bits_per_key <= cfg.bloom_rebuild_load * m, (b, m, n)
+
+    fresh = with_hashes(
+        spark.range(50_000).select(
+            F.md5(F.concat(F.lit("fresh-"), F.col("id").cast("string"))).alias("url_hash")
+        ),
+        "url_hash",
+        cfg.n_buckets,
+    )
+    marked = bloom_probe(spark, fresh, bloom)
+    fpp = marked.where(F.col("maybe_seen")).count() / 50_000
+    assert fpp < 0.02, fpp
