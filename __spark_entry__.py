@@ -307,7 +307,16 @@ def _indexer_full(spark, sf):
     from image_search_indexing_spark.plans.indexer import indexer_full
 
     out = indexer_full(spark, sf)
-    return out.withColumn("timestamps", _join_ts(F.col("timestamps")))
+    # media-dependent fields are NULL on this corpus (no byte payloads /
+    # alt attributes in the driver testdata) — sentinel-fill them so both
+    # engines produce identical non-null dtypes on the Arrow compare path
+    return (
+        out.withColumn("timestamps", _join_ts(F.col("timestamps")))
+        .withColumn("img_alt", F.coalesce(F.col("img_alt"), F.lit("")))
+        .withColumn("img_width", F.coalesce(F.col("img_width"), F.lit(-1)))
+        .withColumn("img_height", F.coalesce(F.col("img_height"), F.lit(-1)))
+        .withColumn("img_mime", F.coalesce(F.col("img_mime"), F.lit("")))
+    )
 
 
 def _indexer_compact(spark, sf):
@@ -499,6 +508,8 @@ _INDEXER_FULL_SQL = _INDEXER_BASE + """
 SELECT r.surt, r.digest,
        r.ref_url AS assigned_img_url,
        r.img_title AS img_title_champion,
+       (-1)::INTEGER AS img_width, (-1)::INTEGER AS img_height,
+       '' AS img_mime, '' AS img_alt,
        i.ts_str AS timestamps, i.n_captures,
        r.page_url,
        'site' || r.phid || '.' || r.ptld AS page_host,

@@ -80,6 +80,65 @@ def spans_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select(doc_id_str.alias("doc_id"), spans.alias("spans"))
 
 
+def interleaved_from_documents(docs: DataFrame) -> DataFrame:
+    """Spans + page envelope in ONE projection (single scan of documents).
+
+    ``spans_from_documents`` + ``docmeta_from_documents`` joined on doc_id
+    would plan a self-join (two scans of the same table); since both are
+    closed-form on doc_id, the flagship derives them together and feeds
+    the pre-joined frame to ``extract_refs(combined, meta=None)``."""
+    # same arithmetic as spans_from_documents + docmeta_from_documents,
+    # inlined into one projection; Catalyst collapses it onto one scan
+    docs2 = docs.select(F.col("doc_id").alias("__did"), "text")
+    did = F.col("__did")
+    hid = did % N_HOSTS
+    base = F.concat(
+        F.lit("http://www."), _host(hid), F.lit("/page/"), did.cast("string"), F.lit(".html")
+    )
+    secs = (did % 365) * 86400 + (did % 86400)
+    ts = F.timestamp_seconds(F.unix_timestamp(F.lit("2016-01-01 00:00:00")) + secs)
+    doc_id_str = F.concat(F.lit("doc-"), F.lpad(did.cast("string"), 9, "0"))
+    n_refs = (did % 4 + 1).cast("int")
+
+    # re-derive spans inline (copy of spans_from_documents' projection) so
+    # the whole frame is one select over one scan
+    def media_span(i):
+        img_id = (did * 7 + i * 13) % POOL
+        hid_i = img_id % N_HOSTS
+        ext = F.when(img_id % 2 == 0, ".png").otherwise(".jpg")
+        url = F.concat(
+            F.lit("http://www."), _host(hid_i), F.lit("/img/"), img_id.cast("string"), ext
+        )
+        kind = F.when(i % 3 == 0, "img").when(i % 3 == 1, "a").otherwise("css")
+        return F.struct(
+            kind.alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            url.alias("media_ref"),
+            (i * 2 + 1).cast("int").alias("offset"),
+        )
+
+    def text_span(i):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.substring(F.col("text"), (i * 37 + 1).cast("int"), 30).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i * 2).cast("int").alias("offset"),
+        )
+
+    spans_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_refs - F.lit(1)),
+            lambda i: F.array(text_span(i), media_span(i)),
+        )
+    )
+    return docs2.select(
+        doc_id_str.alias("doc_id"),
+        spans_col.alias("spans"),
+        base.alias("base_url"),
+        F.date_format(ts, "yyyyMMddHHmmss").alias("fetch_ts"),
+    )
+
+
 def docmeta_from_documents(docs: DataFrame) -> DataFrame:
     """Per-doc page envelope (base_url + archive fetch_ts), same arithmetic."""
     docs = docs.select(F.col("doc_id").alias("__did"))

@@ -45,11 +45,13 @@ def explode_spans(docs: DataFrame, meta: DataFrame, spans_cap: int = MAX_IMAGE_I
     the nearest-non-empty-text scan. The join with docmeta broadcasts when
     small; at scale both sides are co-partitioned on doc_id by the writer.
     """
+    extra = [c for c in ("base_url", "fetch_ts") if c in docs.columns]
     capped = docs.select(
-        "doc_id", F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw")
+        "doc_id", *extra,
+        F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw"),
     )
     exploded = (
-        capped.join(meta, "doc_id")
+        (capped.join(meta, "doc_id") if meta is not None else capped)
         .select(
             "doc_id",
             "base_url",
@@ -80,12 +82,17 @@ def explode_spans(docs: DataFrame, meta: DataFrame, spans_cap: int = MAX_IMAGE_I
 
 def _explode_spans_nocaption(docs: DataFrame, meta: DataFrame, spans_cap: int) -> DataFrame:
     """explode_spans minus the caption-context windows (frontier fast path:
-    media rows only need url/kind/offset, so the per-doc sort is skipped)."""
+    media rows only need url/kind/offset, so the per-doc sort is skipped).
+
+    ``meta=None`` means docs already carries base_url/fetch_ts (pre-joined
+    single-scan input, e.g. docspans.interleaved_from_documents)."""
+    extra = [c for c in ("base_url", "fetch_ts") if c in docs.columns]
     capped = docs.select(
-        "doc_id", F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw")
+        "doc_id", *extra,
+        F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw"),
     )
     return (
-        capped.join(meta, "doc_id")
+        (capped.join(meta, "doc_id") if meta is not None else capped)
         .select(
             "doc_id", "base_url", "fetch_ts", "n_spans_raw",
             F.posexplode("spans").alias("span_idx", "span"),
@@ -193,8 +200,14 @@ def extract_refs(
     ]
     if features == "frontier":
         return out.select(*core)
+    # a media span's `text` field carries the tag's alt/title attribute
+    # (the span model's F12 attribute scavenging); empty → NULL, matching
+    # the reference's absent-attribute behavior (PageImageData.java:397-399
+    # keys page records on title+ALT+caption)
+    alt_trim = TX.java_trim(F.coalesce(F.col("text"), F.lit("")))
     out = (
         out.withColumn("caption", _caption())
+        .withColumn("img_alt", F.when(alt_trim != "", alt_trim))
         .withColumn("page_surt", U.surt(F.col("base_url")))
         .withColumn("page_host", U.url_host(F.col("base_url")))
         .withColumn("img_src_tokens", U.url_tokens(F.col("ref_url")))
@@ -204,6 +217,7 @@ def extract_refs(
     return out.select(
         *core[:-1],
         "caption",
+        "img_alt",
         "page_surt",
         "page_host",
         "img_src_tokens",
@@ -270,10 +284,19 @@ def extract_refs_frontier(
     )
     obs_media = Observation()
     reason = lambda r: F.count(F.when(F.col("drop_reason") == r, 1)).alias(r)
+    valid = F.col("drop_reason").isNull()
+    # per-branch + base64 counters mirror the reference's extraction enums
+    # (ImageIndexerWithDupsJob.java:70-151: IMAGES_IN_HTML_TOTAL / _BASE64,
+    # link/css branch counts) — data: URLs were rewritten to hash: above
+    branch = lambda k: F.count(F.when(valid & (F.col("kind") == k), 1)).alias(f"valid_{k}")
     refs = refs.observe(
         obs_media,
         F.count(F.lit(1)).alias("media_total"),
-        F.count(F.when(F.col("drop_reason").isNull(), 1)).alias("valid_ref"),
+        F.count(F.when(valid, 1)).alias("valid_ref"),
+        branch("img"),
+        branch("a"),
+        branch("css"),
+        F.count(F.when(valid & F.col("ref_url").startswith("hash:"), 1)).alias("data_url_refs"),
         reason("empty_ref"),
         reason("url_too_long"),
         reason("a_not_image"),

@@ -179,6 +179,9 @@ class FrontierOracle:
                 counters["css_already_parsed"] = counters.get("css_already_parsed", 0) + 1
                 continue
             counters["valid_ref"] = counters.get("valid_ref", 0) + 1
+            counters[f"valid_{kind}"] = counters.get(f"valid_{kind}", 0) + 1
+            if ref_url.startswith("hash:"):
+                counters["data_url_refs"] = counters.get("data_url_refs", 0) + 1
             su = surt(ref_url)
             rows.append(
                 {

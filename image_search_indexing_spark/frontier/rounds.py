@@ -145,8 +145,9 @@ class FrontierDriver:
             g = lambda d, k: int(d.get(k) or 0)  # empty rounds observe None
             counters = {
                 k: g(med, k)
-                for k in ("valid_ref", "empty_ref", "url_too_long", "a_not_image",
-                          "css_already_parsed")
+                for k in ("valid_ref", "valid_img", "valid_a", "valid_css",
+                          "data_url_refs", "empty_ref", "url_too_long",
+                          "a_not_image", "css_already_parsed")
                 if g(med, k)
             }
             counters["not_media"] = g(spans, "spans_total") - g(med, "media_total")

@@ -26,14 +26,23 @@ from ..frontier.seen import with_hashes
 
 
 def frontier_schedule(spark: SparkSession, sf_dir: str, default_priority: int = 9) -> DataFrame:
+    from ..functions import urls as U
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spans = docspans.spans_from_documents(docs)
-    meta = docspans.docmeta_from_documents(docs)
-    refs = extract_refs(spans, meta).where(F.col("drop_reason").isNull())
+    # spans + page envelope derived in ONE projection → one scan of the
+    # table (a separate docmeta join would plan a self-join = second scan)
+    combined = docspans.interleaved_from_documents(docs)
+    refs = extract_refs(combined, meta=None).where(F.col("drop_reason").isNull())
     cand = with_hashes(
         refs.withColumn("priority", F.lit(default_priority).cast("int")), "url_hash", 32
     ).select(*CAND_COLS)
-    champions = _dedup_candidates(cand)
+    # surt/host are recomputed post-dedup — the shuffle carries no
+    # derivable strings (same contract as the round driver)
+    champions = (
+        _dedup_candidates(cand)
+        .withColumn("surt", U.surt(F.col("ref_url")))
+        .withColumn("host", U.url_host(F.col("ref_url")))
+    )
     sched = schedule_round(champions, docspans.politeness_from_hosts(spark))
     return sched.select(
         "url_hash",

@@ -24,11 +24,16 @@ JOB 2 — ``DupDigestMergerJob`` (group by digest):
   captions ordered by the page-metadata string, TreeMap-style
   (A11/O3: ``MultiPageImageData.java:166-219``)
 
-Content digests: the sandbox has no image bytes, so the digest models
-"identical content served from different URLs" deterministically as
-``md5('content:' + url path)`` — two hosts serving ``/img/7.png`` share a
-digest, exercising the digest-rekey/merge path exactly like SHA-256 of
-bytes does in the reference (``utils/ImageParse.java:116-124``).
+Content digests: without image bytes the digest models "identical content
+served from different URLs" deterministically as ``md5('content:' + url
+path)`` — two hosts serving ``/img/7.png`` share a digest, exercising the
+digest-rekey/merge path exactly like SHA-256 of bytes does in the
+reference (``utils/ImageParse.java:116-124``). When a ``media_df`` of
+(url, payload) binary rows IS supplied, captures joined to real bytes
+take ``sha2(payload, 256)`` as their digest (F3), get decoded dimensions
++ sniffed MIME attached (F9/F10 plumbing), and pass the P2 size gates —
+so identical bytes at different URLs/SURTs merge under one digest, the
+reference's actual dedup case (``DupDigestMergerJob.java:151-174``).
 """
 
 from __future__ import annotations
@@ -42,19 +47,75 @@ from ..operators.asof import asof_nearest
 
 MAXIMUM_META = 500  # FullImageMetadata.java:22
 
+_EXT_MIME = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "bmp": "image/bmp", "webp": "image/webp",
+    "ico": "image/x-icon", "tif": "image/tiff", "tiff": "image/tiff",
+    "svg": "image/svg+xml",
+}
+
 
 def content_digest(ref_url) -> "F.Column":
     path = F.regexp_replace(ref_url, r"^(?:https?:)?//[^/]*", "")
     return F.md5(F.concat(F.lit("content:"), path))
 
 
-def build_records(spark: SparkSession, sf_dir: str):
+def attach_media_meta(
+    captures: DataFrame, media_df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """F3 + P2 + F9 over real bytes: SHA-256 content digest, decoded
+    dimensions, magic-byte MIME and the reported-vs-detected mismatch flag
+    (counter analog of ``ImageInformationExtractor.java:290-306``).
+    Captures with no matching payload keep their path digest and pass the
+    gates (gates apply only to decoded images, as in the reference)."""
+    from ..operators import multimodal as MM
+
+    meta = MM.decode_image_meta(
+        media_df.select(F.col(url_col).alias("img_url"), F.col(payload_col).alias("payload"))
+    ).select(
+        "img_url",
+        F.sha2("payload", 256).alias("__content_digest"),
+        "width",
+        "height",
+        "mime_detected",
+    )
+    joined = captures.join(meta, "img_url", "left")
+    gated = joined.where(
+        F.col("width").isNull()
+        | (
+            (F.col("width") >= MM.MIN_WIDTH)
+            & (F.col("height") >= MM.MIN_HEIGHT)
+            & (F.col("width").cast("long") * F.col("height") <= MM.MAX_AREA)
+        )
+    )
+    ext = F.lower(F.regexp_extract("img_url", r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
+    reported = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _EXT_MIME.items() for x in kv]), ext
+    )
+    return (
+        gated.withColumn("digest", F.coalesce("__content_digest", F.col("digest")))
+        .withColumn("mime_reported", reported)
+        .withColumn(
+            "mime_mismatch",
+            F.col("mime_detected").isNotNull()
+            & F.col("mime_reported").isNotNull()
+            & (F.col("mime_detected") != F.col("mime_reported")),
+        )
+        .drop("__content_digest")
+    )
+
+
+def build_records(spark: SparkSession, sf_dir: str, media_df: DataFrame | None = None):
     """(captures, page_records) from the interleaved corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = docspans.spans_from_documents(docs)
     meta = docspans.docmeta_from_documents(docs)
     refs = extract_refs(spans, meta).where(F.col("drop_reason").isNull())
+    return records_from_refs(refs, media_df)
 
+
+def records_from_refs(refs: DataFrame, media_df: DataFrame | None = None):
+    """(captures, page_records) from an already-extracted valid-refs frame."""
     captures = refs.select(
         "surt",
         content_digest(F.col("ref_url")).alias("digest"),
@@ -63,6 +124,14 @@ def build_records(spark: SparkSession, sf_dir: str):
         F.col("url_hash").alias("img_url_hash"),
         F.col("img_filename_tokens").alias("img_title"),
     )
+    if media_df is not None:
+        captures = attach_media_meta(captures, media_df)
+    else:
+        captures = (
+            captures.withColumn("width", F.lit(None).cast("int"))
+            .withColumn("height", F.lit(None).cast("int"))
+            .withColumn("mime_detected", F.lit(None).cast("string"))
+        )
     pages = refs.select(
         "surt",
         F.col("page_url"),
@@ -71,7 +140,7 @@ def build_records(spark: SparkSession, sf_dir: str):
         F.col("page_ts"),
         F.col("caption"),
         F.col("img_filename_tokens").alias("img_title"),
-        F.lit(None).cast("string").alias("img_alt"),
+        F.col("img_alt"),
         F.col("img_src_tokens"),
         F.col("page_url_tokens"),
         F.col("kind").alias("tag_found_in"),
@@ -88,7 +157,10 @@ def images_per_surt(captures: DataFrame) -> DataFrame:
     champ_ord = F.struct(F.col("capture_ts"), F.length("img_url"), F.col("img_url_hash"))
     return captures.groupBy("surt", "digest").agg(
         F.slice(F.array_sort(F.collect_list("capture_ts")), 1, MAXIMUM_META).alias("timestamps"),
-        F.min_by(F.struct("img_url", "img_title", "img_url_hash"), champ_ord).alias("champion"),
+        F.min_by(
+            F.struct("img_url", "img_title", "img_url_hash", "width", "height", "mime_detected"),
+            champ_ord,
+        ).alias("champion"),
         F.min("capture_ts").alias("first_capture_ts"),
         F.max("capture_ts").alias("last_capture_ts"),
         F.count("*").alias("n_captures"),
@@ -129,9 +201,17 @@ def assign_captures(pages_d: DataFrame, captures: DataFrame) -> DataFrame:
     )
 
 
-def indexer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL output: one row per page record with its assigned image."""
-    captures, pages = build_records(spark, sf_dir)
+def indexer_full(spark: SparkSession, sf_dir: str, media_df: DataFrame | None = None) -> DataFrame:
+    """FULL output: one row per page record with its assigned image.
+
+    Output parity with the reference serializer
+    (``MultiPageImageDataSerializer.java:45-55``): imgWidth/imgHeight/mime
+    ride as ``img_width``/``img_height``/``img_mime`` — populated when a
+    ``media_df`` supplies real bytes, NULL otherwise."""
+    return full_from_records(*build_records(spark, sf_dir, media_df))
+
+
+def full_from_records(captures: DataFrame, pages: DataFrame) -> DataFrame:
     imgs = images_per_surt(captures)
     assigned = assign_captures(pages_deduped(pages), captures)
     out = assigned.join(imgs, ["surt", "digest"], "left")
@@ -140,6 +220,9 @@ def indexer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         "assigned_img_url",
         F.col("champion.img_title").alias("img_title_champion"),
+        F.col("champion.width").alias("img_width"),
+        F.col("champion.height").alias("img_height"),
+        F.col("champion.mime_detected").alias("img_mime"),
         "timestamps",
         "n_captures",
         "page_url",
@@ -148,6 +231,7 @@ def indexer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page_ts_newest",
         "caption",
         "img_title",
+        "img_alt",
         "img_src_tokens",
         "page_url_tokens",
         "tag_found_in",
@@ -155,13 +239,18 @@ def indexer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def indexer_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def indexer_compact(
+    spark: SparkSession, sf_dir: str, media_df: DataFrame | None = None
+) -> DataFrame:
     """COMPACT output: one row per digest with metadata lists (A11/O3).
 
     Lists are ordered by the page metadata string (the reference's TreeMap
     iteration order) and deduped; empties dropped
     (MultiPageImageData.java:200-212)."""
-    captures, pages = build_records(spark, sf_dir)
+    return compact_from_records(*build_records(spark, sf_dir, media_df))
+
+
+def compact_from_records(captures: DataFrame, pages: DataFrame) -> DataFrame:
     imgs = images_per_surt(captures)
     assigned = assign_captures(pages_deduped(pages), captures)
 
@@ -213,7 +302,25 @@ def indexer_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def to_jsonl(df: DataFrame, path: str) -> None:
+def to_jsonl(df: DataFrame, path: str, field_order: list[str] | None = None) -> None:
     """Reference's final sink: one JSON object per line (S7,
-    DupDigestMergerJob.java:285-299)."""
-    df.write.mode("overwrite").json(path)
+    DupDigestMergerJob.java:285-299).
+
+    Field order is PINNED: the reference string-compares golden JSONL
+    (FullPipelineTest.java:84-105) against a Gson serializer with a fixed
+    field sequence (MultiPageImageDataSerializer.java:26-76), so key order
+    is part of the output contract — ``to_json(struct(...))`` preserves the
+    struct's field order exactly, unlike ``df.write.json``'s schema order
+    being an accident of the plan."""
+    cols = field_order or df.columns
+    line = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def jsonl_lines(df: DataFrame, field_order: list[str] | None = None) -> list[str]:
+    """The sink's lines, sorted — the golden-comparable form (sorting makes
+    the comparison partition-count invariant where the reference used a
+    single reducer)."""
+    cols = field_order or df.columns
+    line = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    return sorted(r["value"] for r in df.select(line.alias("value")).collect())

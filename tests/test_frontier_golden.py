@@ -116,6 +116,10 @@ def test_counters_match_oracle(engine_and_oracle):
     _, counters, state = engine_and_oracle
     keys = [
         "valid_ref",
+        "valid_img",
+        "valid_a",
+        "valid_css",
+        "data_url_refs",
         "robots_blocked",
         "round_candidates",
         "queue_after_dedup",

@@ -141,3 +141,115 @@ def test_indexer_partition_invariance(spark):
     assert rows_a.keys() == rows_b.keys()
     for k in rows_a:
         assert rows_a[k] == rows_b[k], k
+
+
+def _refs(spark, spans_rows, base="http://www.iol.pt/multimedia/page.html"):
+    docs = spark.createDataFrame(spans_rows, SPANS_SCHEMA)
+    meta = spark.createDataFrame(
+        [(r[0], base, "20160701120000") for r in spans_rows], META_SCHEMA
+    )
+    return extract_refs(docs, meta).where(F.col("drop_reason").isNull())
+
+
+def test_alt_is_part_of_metadata_key(spark):
+    """Reference keys page records on title+ALT+caption
+    (PageImageData.java:397-399): same title/caption but different alt →
+    distinct page records; identical alts merge."""
+    from image_search_indexing_spark.plans.indexer import (
+        compact_from_records,
+        full_from_records,
+        records_from_refs,
+    )
+
+    rows = [
+        ("d1", [_t("cap", 0), ("img", "Alt A", "/m/k.jpg", 1)]),
+        ("d2", [_t("cap", 0), ("img", "Alt B", "/m/k.jpg", 1)]),
+        ("d3", [_t("cap", 0), ("img", "Alt B", "/m/k.jpg", 1)]),
+    ]
+    captures, pages = records_from_refs(_refs(spark, rows))
+    full = full_from_records(captures, pages).collect()
+    assert len(full) == 2  # Alt A and Alt B page records, Alt B deduped
+    by_alt = {r["img_alt"]: r for r in full}
+    assert set(by_alt) == {"Alt A", "Alt B"}
+    assert by_alt["Alt B"]["n_metadata_changes"] == 2
+    compact = compact_from_records(captures, pages).collect()
+    assert len(compact) == 1
+    assert compact[0]["alts"] == ["Alt A", "Alt B"]
+
+
+def _stub_dims(payload: bytes) -> tuple[int, int]:
+    """The deterministic fake decoder's dims (operators/multimodal.py)."""
+    import hashlib
+
+    h64 = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    return h64 % 2000, (h64 // 2000) % 2000
+
+
+def _find_payload(pred) -> bytes:
+    i = 0
+    while True:
+        b = f"payload-{i}".encode()
+        if pred(*_stub_dims(b)):
+            return b
+        i += 1
+
+
+def test_media_digest_merges_across_surts(spark):
+    """F3 + A9: identical bytes served from two different URLs/SURTs share
+    one SHA-256 digest and merge in the compact (digest-keyed) output —
+    the reference's actual dedup case (DupDigestMergerJob.java:151-174)."""
+    import hashlib
+
+    from image_search_indexing_spark.plans.indexer import (
+        compact_from_records,
+        full_from_records,
+        records_from_refs,
+    )
+
+    url_a = "http://www.hosta.pt/x/one.jpg"
+    url_b = "http://www.hostb.org/y/two.jpg"
+    rows = [
+        ("d1", [_t("cap one", 0), _img(url_a, 1)]),
+        ("d2", [_t("cap two", 0), _img(url_b, 1)]),
+    ]
+    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    media = spark.createDataFrame(
+        [(url_a, bytearray(good)), (url_b, bytearray(good))], "url string, payload binary"
+    )
+    captures, pages = records_from_refs(_refs(spark, rows), media)
+    compact = compact_from_records(captures, pages).collect()
+    assert len(compact) == 1  # one digest despite two SURTs
+    row = compact[0]
+    assert row["digest"] == hashlib.sha256(good).hexdigest()
+    assert row["total_captures"] == 2
+    assert row["surt"] == "(org,hostb,)/y/two.jpg"  # lowest-surt champion
+    assert sorted(row["captions"]) == ["cap one", "cap two"]
+
+    w, h = _stub_dims(good)
+    full = full_from_records(captures, pages).collect()
+    assert all(r["img_width"] == w and r["img_height"] == h for r in full)
+    # without media bytes the two URLs keep distinct path digests
+    cap2, pg2 = records_from_refs(_refs(spark, rows))
+    assert len(compact_from_records(cap2, pg2).collect()) == 2
+
+
+def test_media_size_gates_and_mime_mismatch(spark):
+    """P2 gates drop undersized decoded images; F9 flags reported-vs-
+    detected MIME mismatches (ImageInformationExtractor.java:290-326)."""
+    from image_search_indexing_spark.plans.indexer import records_from_refs
+
+    url = "http://www.hosta.pt/x/tiny.jpg"
+    rows = [("d1", [_t("cap", 0), _img(url, 1)])]
+    tiny = _find_payload(lambda w, h: w < 51)
+    media = spark.createDataFrame([(url, bytearray(tiny))], "url string, payload binary")
+    captures, _ = records_from_refs(_refs(spark, rows), media)
+    assert captures.count() == 0  # gated out
+
+    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    media2 = spark.createDataFrame([(url, bytearray(good))], "url string, payload binary")
+    cap2, _ = records_from_refs(_refs(spark, rows), media2)
+    r = cap2.collect()[0]
+    # stub payloads carry no jpeg magic → octet-stream vs reported image/jpeg
+    assert r["mime_detected"] == "application/octet-stream"
+    assert r["mime_reported"] == "image/jpeg"
+    assert r["mime_mismatch"] is True
