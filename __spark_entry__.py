@@ -220,6 +220,30 @@ def _ann_topk_lsh(spark, sf):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def _emb_near_dup_pairs(spark, sf):
+    from image_search_indexing_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(_t(spark, sf, "embeddings"), dim=64, threshold=0.35, n_planes=4)
+
+
+def _simhash_buckets_md5(spark, sf):
+    from image_search_indexing_spark.operators.dedup import simhash_buckets_md5
+
+    out = simhash_buckets_md5(_t(spark, sf, "documents"))
+    return out.withColumn("doc_ids", _join_ints(F.col("doc_ids")))
+
+
+def _token_estimates(spark, sf):
+    from image_search_indexing_spark.functions import text as TX
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_token_estimate(F.col("text")).alias("bpe_est"),
+    )
+
+
 def _session_stats(spark, sf):
     from image_search_indexing_spark.operators.events import session_stats
 
@@ -371,9 +395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _exact_dup_groups,
         "minhash_lsh_buckets": _minhash_lsh_buckets,
         "simhash_buckets": _simhash_buckets,
+        "simhash_buckets_md5": _simhash_buckets_md5,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "cosine_topk": _cosine_topk,
         "ann_topk_lsh": _ann_topk_lsh,
+        "emb_near_dup_pairs": _emb_near_dup_pairs,
+        "token_estimates": _token_estimates,
         "session_stats": _session_stats,
         "hourly_rollup": _hourly_rollup,
         "events_anti_orders": _events_anti_orders,
@@ -605,6 +632,60 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, seed: int = 7, k: int = 5) ->
     """
 
 
+def _lsh_bucket_expr(col: str, dim: int, n_planes: int, seed: int = 7) -> str:
+    """The hyperplane-signature bucket as a SQL expression (±1 literals)."""
+    from image_search_indexing_spark.functions.hashing import xxhash64
+
+    terms = []
+    for p in range(n_planes):
+        coeffs = ",".join(
+            "1.0" if xxhash64(f"{seed}:{p}:{i}") % 2 == 0 else "-1.0" for i in range(dim)
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, [{coeffs}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _near_dup_sql(dim: int = 64, threshold: float = 0.35, n_planes: int = 4) -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_expr('v', dim, n_planes)} AS bucket FROM e)
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_cosine_similarity(a.v, b2.v) >= {threshold}
+    """
+
+
+def _simhash_md5_sql(prefix_bits: int = 16, bits: int = 60) -> str:
+    """60-bit md5 SimHash in pure SQL: hex digits → BIGINT via strpos
+    arithmetic, per-bit sign sums over exploded tokens (mirrors
+    operators/dedup.simhash_buckets_md5 exactly)."""
+    toks = _TOKS.format(c="text")
+    h = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1) * {16 ** (15 - j)}"
+        for j in range(1, 16)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN coalesce(s{b}, 0) > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+        tt AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        th AS (SELECT doc_id, md5(t) AS hx FROM tt),
+        hb AS (SELECT doc_id, ({h})::BIGINT AS h FROM th),
+        bt AS (SELECT doc_id, {sums} FROM hb GROUP BY doc_id),
+        sh AS (SELECT d.doc_id, ({sim})::BIGINT >> {bits - prefix_bits} AS bucket
+               FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id)
+        SELECT bucket, count(*) AS n_docs,
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        FROM sh GROUP BY bucket HAVING count(*) > 1
+    """
+
+
 def _lang_quality_sql() -> str:
     """DuckDB oracle for lang_id + quality_score, stopword literals inlined
     from functions/text.py. Every float op mirrors the Spark expression
@@ -666,7 +747,17 @@ def oracle_sql() -> dict[str, str]:
         "indexer_full": _INDEXER_FULL_SQL,
         "indexer_compact": _INDEXER_COMPACT_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
+        "emb_near_dup_pairs": _near_dup_sql(),
+        "simhash_buckets_md5": _simhash_md5_sql(),
         "lang_quality": _lang_quality_sql(),
+        "token_estimates": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '\p{L}{1,4}|\p{N}{1,3}|[^\p{L}\p{N}\s]')) AS bpe_est
+            FROM documents
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,

@@ -84,6 +84,49 @@ def ensure_corpus(spark, n_docs: int) -> str:
     return d
 
 
+def stage_stats(spark, top_n: int = 10) -> list[dict]:
+    """Per-stage executor metrics from the UI REST API (needs spark.ui on).
+
+    This is the scaling-evidence instrument: comparing a leg's top stages
+    at local[8] vs local[32] shows WHERE wall time goes — if per-stage
+    executorRunTime (total cpu-seconds) inflates at 32 threads while
+    shuffle/input bytes stay identical, the cores are stalling on a shared
+    resource (single-box memory bandwidth), not doing extra work.
+    """
+    import json as _json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return []
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _json.loads(r.read())
+    except Exception as ex:  # UI off / API drift — evidence is best-effort
+        log(f"stage_stats unavailable: {ex}")
+        return []
+    stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+    out = []
+    for s in stages[:top_n]:
+        out.append(
+            {
+                "stage": s.get("stageId"),
+                "name": (s.get("name") or "").split("\n")[0][:70],
+                "tasks": s.get("numTasks"),
+                "run_ms": s.get("executorRunTime"),
+                "cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
+                "shuf_read_mb": round((s.get("shuffleReadBytes") or 0) / 1e6, 1),
+                "shuf_write_mb": round((s.get("shuffleWriteBytes") or 0) / 1e6, 1),
+                "input_mb": round((s.get("inputBytes") or 0) / 1e6, 1),
+                "spill_mb": round((s.get("memoryBytesSpilled") or 0) / 1e6, 1),
+            }
+        )
+    return out
+
+
 def bench_frontier(spark, n_docs: int, n_rounds: int) -> dict:
     """Frontier rounds over the cached corpus; returns throughput stats."""
     from pyspark.sql import functions as F
@@ -110,14 +153,18 @@ def bench_frontier(spark, n_docs: int, n_rounds: int) -> dict:
     dt = time.time() - t0
     scheduled = sum(c["scheduled"] for c in counters)
     candidates = sum(c["round_candidates"] for c in counters)
-    shutil.rmtree(wd, ignore_errors=True)
-    return {
+    out = {
         "seconds": round(dt, 2),
         "scheduled": scheduled,
         "candidates": candidates,
         "urls_per_sec": round(scheduled / dt, 1),
         "rounds": n_rounds,
     }
+    if os.environ.get("SPARK_GRAFT_STAGE_STATS"):
+        out["stages"] = stage_stats(spark)
+        out["executor_run_ms_total"] = sum(s["run_ms"] or 0 for s in out["stages"])
+    shutil.rmtree(wd, ignore_errors=True)
+    return out
 
 
 def bench_queries(spark) -> dict[str, float]:
@@ -136,7 +183,7 @@ def bench_queries(spark) -> dict[str, float]:
 
 def run_leg(cpus: int) -> dict:
     """Run one frontier-only leg in a fresh JVM at the given parallelism."""
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_STAGE_STATS="1")
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--frontier-only"],
         capture_output=True,
@@ -162,6 +209,26 @@ def write_scaling_md(pairs: list[tuple[int, dict, int, dict, float]], n_docs: in
                 rows.append(f"| local[{c}] | {fr['urls_per_sec']} | {fr['seconds']} |")
         effs.append(f"- **local[{n}] → local[{n4}] (N vs 4N): efficiency = {eff:.3f}**")
     cands = pairs[-1][3]["extras"]["frontier"]["candidates"]
+    # per-stage evidence: where the wall time goes at each parallelism
+    stage_md = []
+    for c in sorted(seen_legs):
+        leg = next(l for n, ln, n4, l4, _ in pairs for cc, l in ((n, ln), (n4, l4)) if cc == c)
+        fr = leg["extras"]["frontier"]
+        stages = fr.get("stages") or []
+        if not stages:
+            continue
+        stage_md.append(
+            f"\n### local[{c}] — top stages by executor time "
+            f"(total executorRunTime {fr.get('executor_run_ms_total', 0) / 1000:.0f} cpu-s)\n"
+        )
+        stage_md.append("| stage | tasks | run s | cpu s | shuf R MB | shuf W MB | input MB | spill MB |")
+        stage_md.append("|---|---|---|---|---|---|---|---|")
+        for s in stages[:6]:
+            stage_md.append(
+                f"| {s['name']} | {s['tasks']} | {(s['run_ms'] or 0) / 1000:.1f} "
+                f"| {(s['cpu_ms'] or 0) / 1000:.1f} | {s['shuf_read_mb']} "
+                f"| {s['shuf_write_mb']} | {s['input_mb']} | {s['spill_mb']} |"
+            )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH baseline — frontier scaling (N vs 4N parallelism)
@@ -177,6 +244,14 @@ of two cluster sizes, per BASELINE.md protocol):
 {chr(10).join(rows)}
 
 {chr(10).join(effs)}
+{chr(10).join(stage_md)}
+
+**Reading the stage tables:** identical shuffle/input bytes across legs
+mean both ran the same work; if total executorRunTime (cpu-seconds, all
+threads) inflates at the higher thread count while bytes are unchanged,
+the extra "cpu time" is threads stalling on the shared memory subsystem —
+the single-box bandwidth ceiling, not engine overhead. On a real cluster
+4N executors bring 4x the memory bandwidth and this term scales.
 
 Notes on the sandbox's single-box ceiling: this Firecracker VM shares one
 memory subsystem and a noisy host (co-tenant variance ±50% observed, ~2%
@@ -234,7 +309,14 @@ def main() -> None:
 
     from image_search_indexing_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, CPUS))
+    extra = {"spark.ui.enabled": "true"} if os.environ.get("SPARK_GRAFT_STAGE_STATS") else None
+    # 4x cores: per-task shuffle footprint stays within execution memory at
+    # full thread count (8-wide partitions spilled ~14GB/stage at 32 threads
+    # — see BENCH/BASELINE.md stage tables); AQE coalesces the excess
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(16, CPUS * 4),
+        extra_conf=extra,
+    )
 
     fr = bench_frontier(spark, BENCH_DOCS, BENCH_ROUNDS)
     log(f"frontier: {fr}")

@@ -77,6 +77,36 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     return sig
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (no cross join).
+
+    Pairs form only INSIDE a hyperplane-signature bucket (a.id < b.id), so
+    the comparison count is sum of squared bucket sizes, not n² — the shape
+    that survives a 10^9-vector corpus (recall trades off with n_planes).
+    Output is (id_a, id_b) without the raw similarity so downstream
+    equality checks are float-free; re-derive scores with ``cosine`` if
+    needed.
+    """
+    sig = hyperplane_signature(F.col("v"), dim, n_planes)
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("bucket", sig)
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.where(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

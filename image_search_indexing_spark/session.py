@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local mode: the driver JVM hosts every executor thread, so the
+        # heap must be sized for all concurrent tasks' execution memory —
+        # 16g made 32-thread runs spill ~14GB/stage (BENCH/BASELINE.md)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # this sandbox's virtio disk serializes under concurrent IO (32
