@@ -600,19 +600,9 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, seed: int = 7, k: int = 5) ->
     """DuckDB oracle for ann_topk_lsh: the hyperplane coefficients are
     deterministic ±1 literals (xxhash64-derived, operators/similarity.py),
     so the exact same signatures are reproducible in SQL."""
-    from image_search_indexing_spark.functions.hashing import xxhash64
 
     def bucket(col: str) -> str:
-        terms = []
-        for p in range(n_planes):
-            coeffs = ",".join(
-                "1.0" if xxhash64(f"{seed}:{p}:{i}") % 2 == 0 else "-1.0" for i in range(dim)
-            )
-            terms.append(
-                f"(CASE WHEN list_dot_product({col}, [{coeffs}]) >= 0"
-                f" THEN {1 << p} ELSE 0 END)"
-            )
-        return " + ".join(terms)
+        return _lsh_bucket_expr(col, dim, n_planes, seed)
 
     return f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

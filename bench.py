@@ -310,11 +310,16 @@ def main() -> None:
     from image_search_indexing_spark.session import get_spark
 
     extra = {"spark.ui.enabled": "true"} if os.environ.get("SPARK_GRAFT_STAGE_STATS") else None
-    # 4x cores: per-task shuffle footprint stays within execution memory at
-    # full thread count (8-wide partitions spilled ~14GB/stage at 32 threads
-    # — see BENCH/BASELINE.md stage tables); AQE coalesces the excess
+    # per-task shuffle footprint must fit execution memory at full thread
+    # count (cores-wide partitions spilled ~14GB/stage at 32 threads with a
+    # 16g heap — BENCH/BASELINE.md stage tables); the multiplier trades
+    # per-task footprint against task overhead at small inputs
+    # mult=1 measured best end-to-end: the 48g heap alone keeps the 6.5M-doc
+    # 32-thread legs spill-free, and fewer tasks win at small inputs
+    # (800k docs: 47.5k urls/s at mult=1 vs 35.5k at mult=2)
+    mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
     spark = get_spark(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(16, CPUS * 4),
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(16, CPUS * mult),
         extra_conf=extra,
     )
 
