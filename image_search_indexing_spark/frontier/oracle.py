@@ -266,6 +266,15 @@ class FrontierOracle:
         state.counters.append(counters)
         return counters
 
+    def invalidate(self, state: OracleState, url_hashes) -> int:
+        """Re-crawl invalidation (engine: FrontierDriver.invalidate):
+        remove the URLs from the seen set so rediscovery reschedules them.
+        Returns how many were actually seen."""
+        hs = set(url_hashes)
+        removed = len(state.seen & hs)
+        state.seen -= hs
+        return removed
+
     def run(self, all_docs: list[dict], n_rounds: int | None = None) -> OracleState:
         """all_docs: {doc_id, spans, base_url, fetch_ts}; round slicing by
         pmod(xxhash64(doc_id), n_rounds) — bit-identical to the engine."""

@@ -220,6 +220,8 @@ class FrontierDriver:
         seen = cat.read_table(spark, "seen", snap)
         pending = cat.read_table(spark, "pending", snap)
         bloom = cat.read_table(spark, "bloom", snap) if cfg.use_bloom else None
+        tomb = cat.read_table(spark, "tombstones", snap)
+        cuckoo_tbl = cat.read_table(spark, "cuckoo", snap)
 
         # 1. this round's arriving documents (closed-world fetch simulation)
         rdocs = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_rounds)) == round_id)
@@ -249,9 +251,11 @@ class FrontierDriver:
             obs_queue, F.count(F.lit(1)).alias("n"), F.sum("__is_new").alias("n_new")
         ).persist()
 
-        # 3. seen-set filter (bloom prefilter routes; exact join decides)
+        # 3. seen-set filter (bloom prefilter routes; exact join decides;
+        # tombstoned URLs — re-crawl invalidation — count as unseen)
         new_urls = seenmod.filter_new_urls(
-            spark, cand, seen, bloom, key="url_hash", n_buckets=cfg.n_buckets
+            spark, cand, seen, bloom, tombstones=tomb, cuckoo_table=cuckoo_tbl,
+            key="url_hash", n_buckets=cfg.n_buckets,
         )
         obs_live = Observation()
         new_urls = new_urls.observe(
@@ -304,6 +308,23 @@ class FrontierDriver:
             "seen", round_id, partition_by=["bucket"],
         )
         tables["seen"] = tables.get("seen", []) + [seen_path]  # append (Iceberg add-files)
+
+        # scheduling a resurrected URL clears its tombstone (it is seen
+        # again); tombstone tables are small — O(tombstones) rewrite
+        if tomb is not None:
+            remaining = tomb.join(scheduled.select("url_hash"), "url_hash", "left_anti")
+            remaining = remaining.persist()
+            if remaining.count() > 0:
+                tomb_path = cat.write_table(remaining, "tombstones", round_id)
+                ck_path = cat.write_table(
+                    seenmod.build_cuckoo_table(remaining), "cuckoo", round_id
+                )
+                tables["tombstones"] = [tomb_path]
+                tables["cuckoo"] = [ck_path]
+            else:
+                tables.pop("tombstones", None)
+                tables.pop("cuckoo", None)
+            remaining.unpersist()
 
         pend_paths = list(tables.get("pending", []))
         not_scheduled = lambda df: df.join(
@@ -409,6 +430,66 @@ class FrontierDriver:
 
     def seen_table(self) -> DataFrame | None:
         return self.catalog.read_table(self.spark, "seen")
+
+    def invalidate(self, urls: DataFrame) -> dict[str, int]:
+        """Re-crawl invalidation: mark URLs as no-longer-seen.
+
+        ``urls`` carries ``url_hash`` (md5 of the canonical SURT — the
+        seen-set key). Commits a new snapshot whose tombstone table +
+        per-bucket cuckoo overlay make those URLs schedulable again on
+        their next discovery; scheduling one clears its tombstone (see
+        run_round). Exactness: the cuckoo filter only routes — membership
+        decisions always come from the exact tombstone table
+        (seen.filter_new_urls), so false positives never resurrect or drop
+        the wrong URL.
+        """
+        spark, cfg, cat = self.spark, self.cfg, self.catalog
+        snap = cat.snapshot()
+        if snap is None:
+            raise ValueError("nothing crawled yet — no seen set to invalidate")
+        tables = dict(snap["tables"])
+        counters = dict(snap.get("counters", {}))
+        sid_next = snap["snapshot_id"] + 1
+
+        ts_new = seenmod.with_hashes(
+            urls.select("url_hash").dropDuplicates(["url_hash"]), "url_hash", cfg.n_buckets
+        ).persist()
+        old_tomb = cat.read_table(spark, "tombstones", snap)
+        if old_tomb is not None:
+            fresh = ts_new.join(old_tomb.select("url_hash"), "url_hash", "left_anti")
+        else:
+            fresh = ts_new
+
+        # how many of these are actually in the (effective) seen set — read
+        # only the affected buckets (partition pruning on the seen table)
+        seen = cat.read_table(spark, "seen", snap)
+        n_removed = 0
+        if seen is not None:
+            buckets = [int(r["bucket"]) for r in fresh.select("bucket").distinct().collect()]
+            if buckets:
+                seen_slice = seen.where(F.col("bucket").isin(buckets)).select("url_hash")
+                n_removed = (
+                    fresh.join(seen_slice, "url_hash", "left_semi").count()
+                )
+
+        merged = ts_new if old_tomb is None else old_tomb.unionByName(
+            ts_new.join(old_tomb.select("url_hash"), "url_hash", "left_anti")
+        )
+        tomb_path = cat.write_table(merged, "tombstones", f"{sid_next}-inv")
+        ck_path = cat.write_table(
+            seenmod.build_cuckoo_table(
+                spark.read.option("basePath", tomb_path).parquet(tomb_path).drop("round")
+            ),
+            "cuckoo", f"{sid_next}-inv",
+        )
+        ts_new.unpersist()
+        tables["tombstones"] = [tomb_path]
+        tables["cuckoo"] = [ck_path]
+        counters["seen_total"] = max(0, int(counters.get("seen_total", 0)) - n_removed)
+        counters["invalidated"] = int(counters.get("invalidated", 0)) + n_removed
+        lineage = dict(snap.get("lineage", {}))
+        cat.commit(snap["round"], tables, counters, lineage, snap["snapshot_id"])
+        return {"invalidated_in_seen": n_removed}
 
     def pending_live(self) -> DataFrame | None:
         """The LIVE pending queue: delta files folded to champions, rows

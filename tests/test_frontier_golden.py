@@ -9,7 +9,11 @@ we get it via total ordering keys), and resumable bit-identically.
 
 import pytest
 
-from image_search_indexing_spark.frontier.oracle import FrontierOracle, OracleConfig
+from image_search_indexing_spark.frontier.oracle import (
+    FrontierOracle,
+    OracleConfig,
+    OracleState,
+)
 from image_search_indexing_spark.frontier.rounds import FrontierConfig, FrontierDriver
 
 N_ROUNDS = 3
@@ -182,3 +186,62 @@ def test_resume_bit_identical(spark, corpus, tmp_path_factory):
     assert snap["round"] == 2
     assert "seen_rows_per_bucket" in snap["lineage"]
     assert snap["counters"]["scheduled"] >= 0
+
+
+def test_invalidation_resurrects_and_matches_oracle(spark, corpus, corpus_py, tmp_path_factory):
+    """Re-crawl invalidation (cuckoo/tombstone overlay): URLs invalidated
+    between rounds become schedulable again on rediscovery; batches, seen
+    set and counters keep matching the oracle; scheduling clears the
+    tombstone."""
+    wd = str(tmp_path_factory.mktemp("frontier-inv"))
+    cfgs = dict(n_rounds=3, n_buckets=16, n_salts=4, default_budget=5)
+    drv = FrontierDriver(spark, wd, FrontierConfig(**cfgs))
+    args = (corpus["docs"], corpus["meta"], corpus["seeds"], corpus["politeness"], corpus["robots"])
+    drv.run(*args, n_rounds=2)
+
+    # invalidate round-0 scheduled URLs that are REDISCOVERED in round 2's
+    # doc slice (so the resurrection actually changes round 2's batch)
+    batch0 = {r["url_hash"] for r in drv.fetch_batch(0).select("url_hash").collect()}
+    from image_search_indexing_spark.frontier.oracle import xxhash64
+
+    r2_docs = [d for d in corpus_py["docs"] if xxhash64(d["doc_id"]) % 3 == 2]
+    oracle = FrontierOracle(
+        OracleConfig(n_rounds=3, default_budget=5),
+        seeds=corpus_py["seeds"],
+        politeness=corpus_py["politeness"],
+        robots=corpus_py["robots"],
+    )
+    r2_hashes = {
+        row["url_hash"] for d in r2_docs
+        for row in oracle.extract_doc(d["doc_id"], d["spans"], d["base_url"], d["fetch_ts"])[0]
+    }
+    target = sorted(batch0 & r2_hashes)[:10]
+    assert target, "fixture must rediscover some round-0 URLs in round 2"
+
+    inv_df = spark.createDataFrame([(h,) for h in target], "url_hash string")
+    res = drv.invalidate(inv_df)
+    assert res["invalidated_in_seen"] == len(target)
+
+    # oracle mirror: rounds 0-1, invalidate, round 2
+    state = OracleState()
+    for r in range(2):
+        docs_r = [d for d in corpus_py["docs"] if xxhash64(d["doc_id"]) % 3 == r]
+        oracle.run_round(r, docs_r, state)
+    assert oracle.invalidate(state, target) == len(target)
+    c2_oracle = oracle.run_round(2, r2_docs, state)
+
+    drv2 = FrontierDriver(spark, wd, FrontierConfig(**cfgs))  # resume path
+    c2 = drv2.run(*args, n_rounds=3)[-1]
+
+    got = _batch_rows(drv2, 2)
+    want = [{k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[2]]
+    assert got == want
+    resurrected = {r["url_hash"] for r in got} & set(target)
+    assert resurrected, "invalidated URLs must be rescheduled in round 2"
+    for k in ("scheduled", "seen_total", "pending_after", "queue_after_dedup"):
+        assert c2.get(k, 0) == c2_oracle.get(k, 0), k
+    # scheduled resurrections cleared their tombstones
+    snap = drv2.catalog.snapshot()
+    tomb = drv2.catalog.read_table(spark, "tombstones", snap)
+    left = {r["url_hash"] for r in tomb.collect()} if tomb is not None else set()
+    assert left == set(target) - resurrected
