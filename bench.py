@@ -37,13 +37,18 @@ BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 
 HEADLINE = [
     "frontier_schedule",
+    "indexer_compact",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "topk_parts_per_supplier",
     "champion_oldest_order",
     "asof_backward_events_orders",
     "minhash_lsh_buckets",
+    "simhash_buckets_md5",
+    "ann_topk_lsh",
+    "emb_near_dup_pairs",
     "cosine_topk",
+    "lang_quality",
     "session_stats",
     "hourly_rollup",
 ]

@@ -116,3 +116,39 @@ def test_simhash_and_ann(spark):
     assert len(brute) == 4 * 3
     ann = ann_topk_lsh(q, c, dim=64, k=3, n_planes=4)
     assert ann.count() >= 0  # bucket recall can be low on random vectors
+
+
+def test_audio_features_and_sniff(spark):
+    """Audio leg of the multimodal family: magic-byte MIME (real) + the
+    windowed feature plumbing (deterministic stub kernel)."""
+    import hashlib
+
+    from image_search_indexing_spark.operators.multimodal import (
+        extract_audio_features,
+        sniff_mime,
+    )
+
+    wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"x" * 50_000
+    mp3 = b"ID3" + b"\x03" * 13 + b"y" * 20_000
+    assert sniff_mime(wav) == "audio/wav"
+    assert sniff_mime(mp3) == "audio/mpeg"
+    assert sniff_mime(b"OggS" + b"z" * 40) == "audio/ogg"
+
+    df = spark.createDataFrame(
+        [("a1", bytearray(wav)), ("a2", bytearray(mp3)), ("a3", None)],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert set(out) == {"a1", "a2"}  # null payloads dropped
+    r = out["a1"]
+    assert r["mime_detected"] == "audio/wav"
+    assert r["n_bytes"] == len(wav)
+    assert r["duration_ms_est"] == len(wav) * 8000 // 128_000
+    bpw = 128_000 // 8  # 1s windows at the assumed bitrate
+    assert r["n_windows"] == (len(wav) + bpw - 1) // bpw
+    # deterministic fingerprint (same fold as the kernel)
+    fp = 0
+    for w in range(r["n_windows"]):
+        chunk = wav[w * bpw : (w + 1) * bpw]
+        fp ^= int.from_bytes(hashlib.md5(chunk).digest()[:8], "big") >> 1
+    assert r["loudness_fp"] == fp
