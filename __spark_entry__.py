@@ -220,6 +220,20 @@ def _ann_topk_lsh(spark, sf):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def _ivf_topk(spark, sf):
+    """IVF ANN — rows-only: the coarse quantizer's centroids are trained
+    from the data (deterministic sampled k-means), not seed literals, so
+    no static SQL can reproduce them; exactness is pinned by the unit test
+    where nprobe == n_centroids must equal cosine_topk bit-for-bit."""
+    from image_search_indexing_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 16), emb.where(F.col("vec_id") >= 16),
+        dim=64, n_centroids=8, nprobe=3,
+    )
+
+
 def _emb_near_dup_pairs(spark, sf):
     from image_search_indexing_spark.operators.similarity import near_dup_pairs
 
@@ -399,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "cosine_topk": _cosine_topk,
         "ann_topk_lsh": _ann_topk_lsh,
+        "ivf_topk": _ivf_topk,
         "emb_near_dup_pairs": _emb_near_dup_pairs,
         "token_estimates": _token_estimates,
         "session_stats": _session_stats,

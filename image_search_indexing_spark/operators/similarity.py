@@ -77,6 +77,96 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     return sig
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF coarse quantizer: numpy k-means on a bounded,
+    id-ordered sample (the standard IVF practice — train on a sample,
+    assign at scale). Init = the sample's first n_centroids vectors;
+    fixed iteration count; no RNG — identical centroids on every run and
+    partition count. Returns a (n_centroids, dim) float64 ndarray.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _nearest_centroid_ids(vec: Column, cents, nprobe: int) -> Column:
+    """array<int> of the nprobe nearest centroid ids (ties → lower id)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(float(c)) for c in cents[i]]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
+            for i in range(len(cents))
+        ]
+    )
+    ranked = F.array_sort(scored)  # by (dist, cid)
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: (query_id, neighbor_id, rank).
+
+    The corpus shuffles ONCE by its nearest centroid (the inverted lists);
+    each query probes only its ``nprobe`` nearest lists, so the scan
+    fraction is nprobe/n_centroids of the corpus — the 100 TB path when
+    hyperplane LSH recall is insufficient. With ``nprobe == n_centroids``
+    this degenerates to exact brute force (the property the unit test
+    pins against ``cosine_topk``).
+    """
+    cents = train_ivf_centroids(corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cid", _nearest_centroid_ids(F.col("cv"), cents, 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("cid", F.explode(_nearest_centroid_ids(F.col("qv"), cents, nprobe)))
+    scored = c.join(F.broadcast(q), "cid").withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     dim: int,

@@ -245,3 +245,38 @@ def test_invalidation_resurrects_and_matches_oracle(spark, corpus, corpus_py, tm
     tomb = drv2.catalog.read_table(spark, "tombstones", snap)
     left = {r["url_hash"] for r in tomb.collect()} if tomb is not None else set()
     assert left == set(target) - resurrected
+
+
+def test_pending_compaction_preserves_equality(spark, corpus, corpus_py, tmp_path_factory):
+    """With a low compaction threshold the pending manifest folds back to
+    one table on schedule, and the live queue still equals the oracle's."""
+    wd = str(tmp_path_factory.mktemp("frontier-compact"))
+    drv = FrontierDriver(
+        spark,
+        wd,
+        FrontierConfig(
+            n_rounds=4, n_buckets=16, n_salts=4, default_budget=3,
+            pending_compact_every=2,
+        ),
+    )
+    args = (corpus["docs"], corpus["meta"], corpus["seeds"], corpus["politeness"], corpus["robots"])
+    counters = drv.run(*args, n_rounds=4)
+    snap = drv.catalog.snapshot()
+    # every 2nd round compacts → never more than 2 pending paths listed
+    assert len(snap["tables"]["pending"]) <= 2
+    assert any(c.get("pending_compacted") for c in counters)
+
+    oracle = FrontierOracle(
+        OracleConfig(n_rounds=4, default_budget=3),
+        seeds=corpus_py["seeds"],
+        politeness=corpus_py["politeness"],
+        robots=corpus_py["robots"],
+    )
+    state = oracle.run(corpus_py["docs"], 4)
+    got = {r["url_hash"] for r in drv.pending_live().collect()}
+    assert got == set(state.pending)
+    for r in range(4):
+        assert _batch_rows(drv, r) == [
+            {k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[r]
+        ]
+    assert counters[-1]["pending_after"] == state.counters[-1]["pending_after"]

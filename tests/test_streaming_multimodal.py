@@ -152,3 +152,30 @@ def test_audio_features_and_sniff(spark):
         chunk = wav[w * bpw : (w + 1) * bpw]
         fp ^= int.from_bytes(hashlib.md5(chunk).digest()[:8], "big") >> 1
     assert r["loudness_fp"] == fp
+
+
+def test_ivf_topk_degenerates_to_exact_and_recalls(spark):
+    """IVF invariants: probing ALL inverted lists == brute-force cosine
+    top-k exactly; probing a fraction keeps recall well above chance."""
+    from image_search_indexing_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    q = emb.where(F.col("vec_id") < 16)
+    c = emb.where(F.col("vec_id") >= 16)
+
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in cosine_topk(q, c, k=5).collect()}
+    full_probe = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(q, c, dim=64, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert full_probe == exact  # nprobe == n_centroids ⇒ exhaustive
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, c, dim=64, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    exact_pairs = {(a, b) for a, b, _ in exact}
+    recall = len(approx & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
