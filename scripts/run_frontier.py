@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--corpus", default=None, help="existing corpus dir (else generated)")
     ap.add_argument("--budget", type=int, default=1 << 30)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--invalidate",
+        default=None,
+        help="path to a parquet/text table of url_hash values to mark "
+        "no-longer-seen (re-crawl invalidation) before running rounds",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,6 +69,13 @@ def main() -> None:
             n_rounds=args.rounds, n_buckets=args.buckets, default_budget=args.budget
         ),
     )
+    if args.invalidate:
+        if args.invalidate.endswith(".txt"):
+            inv = spark.read.text(args.invalidate).withColumnRenamed("value", "url_hash")
+        else:
+            inv = spark.read.parquet(args.invalidate)
+        print(json.dumps({"invalidate": drv.invalidate(inv)}))
+
     t0 = time.time()
     counters = drv.run(docs, meta, seeds, None, robots, n_rounds=args.rounds)
     dt = time.time() - t0
