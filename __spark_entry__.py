@@ -393,12 +393,21 @@ def _indexer_full_scalar(spark, sf):
     )
 
 
+def _indexer_counters(spark, sf):
+    """Job-level counter parity (DupDigestMergerJob COUNTERS + job-1
+    REDUCE_COUNTERS) as an oracle-checked long-format query."""
+    from image_search_indexing_spark.plans.indexer import indexer_counters
+
+    return indexer_counters(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": _frontier_schedule,
         "indexer_full": _indexer_full,
         "indexer_compact": _indexer_compact,
         "indexer_full_scalar": _indexer_full_scalar,
+        "indexer_counters": _indexer_counters,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -598,6 +607,34 @@ SELECT ic.digest, ic.surt, ic.img_url, ic.all_timestamps, ic.total_captures,
 FROM ic JOIN cp ON ic.digest = cp.digest
 """
 
+# Job-level counters in long format. On this corpus captures == pages rows
+# (each valid ref yields one of each), surt ↔ digest is 1:1 (both are
+# functions of img_id) and every digest has page records — the DEGENERATE
+# counters (multiple_digest, without_metadata) are still asserted at their
+# closed-form zero so a regression in either direction trips the oracle.
+_INDEXER_COUNTERS_SQL = _INDEXER_BASE + """
+, persurt AS (SELECT surt, count(DISTINCT digest) AS nd FROM keyed GROUP BY surt)
+SELECT counter, value FROM (
+  SELECT 'url_imagesall_pages' AS counter,
+         (SELECT count(*) FROM keyed)::BIGINT AS value
+  UNION ALL SELECT 'url_images_pagesall',
+         (SELECT count(*) FROM keyed)::BIGINT
+  UNION ALL SELECT 'records_in',
+         (SELECT count(DISTINCT digest) FROM keyed)::BIGINT
+  UNION ALL SELECT 'url_images_pages',
+         (SELECT count(DISTINCT surt) FROM keyed)::BIGINT
+  UNION ALL SELECT 'url_images_pages_multiple_digest',
+         (SELECT count(*) FROM persurt WHERE nd > 1)::BIGINT
+  UNION ALL SELECT 'records_out_full',
+         (SELECT count(*) FROM ranked WHERE rn = 1)::BIGINT
+  UNION ALL SELECT 'records_with_metadata',
+         (SELECT count(DISTINCT digest) FROM ranked WHERE rn = 1)::BIGINT
+  UNION ALL SELECT 'records_without_metadata',
+         (SELECT count(DISTINCT digest) FROM keyed)::BIGINT
+           - (SELECT count(DISTINCT digest) FROM ranked WHERE rn = 1)::BIGINT
+) ORDER BY counter
+"""
+
 # word tokens / shingles as reusable SQL fragments (mirror functions/text.py)
 _TOKS = (
     "list_filter(string_split_regex(trim(regexp_replace(lower({c}),"
@@ -751,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "indexer_full_scalar": _INDEXER_SCALAR_SQL,
         "indexer_full": _INDEXER_FULL_SQL,
         "indexer_compact": _INDEXER_COMPACT_SQL,
+        "indexer_counters": _INDEXER_COUNTERS_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),

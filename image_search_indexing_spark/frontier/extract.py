@@ -80,17 +80,27 @@ def explode_spans(docs: DataFrame, meta: DataFrame, spans_cap: int = MAX_IMAGE_I
     return exploded.withColumn("prev_text", prev_t).withColumn("next_text", next_t)
 
 
-def _explode_spans_nocaption(docs: DataFrame, meta: DataFrame, spans_cap: int) -> DataFrame:
+def _capped_docs(docs: DataFrame, spans_cap: int) -> DataFrame:
+    """Per-doc frame with spans capped at ``spans_cap`` (P4) and the raw
+    span count kept for the EXCEDED/NOT_PARSED counters."""
+    extra = [c for c in ("base_url", "fetch_ts") if c in docs.columns]
+    return docs.select(
+        "doc_id", *extra,
+        F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw"),
+    )
+
+
+def _explode_spans_nocaption(
+    docs: DataFrame, meta: DataFrame, spans_cap: int, capped: DataFrame | None = None
+) -> DataFrame:
     """explode_spans minus the caption-context windows (frontier fast path:
     media rows only need url/kind/offset, so the per-doc sort is skipped).
 
     ``meta=None`` means docs already carries base_url/fetch_ts (pre-joined
-    single-scan input, e.g. docspans.interleaved_from_documents)."""
-    extra = [c for c in ("base_url", "fetch_ts") if c in docs.columns]
-    capped = docs.select(
-        "doc_id", *extra,
-        F.slice("spans", 1, spans_cap).alias("spans"), F.size("spans").alias("n_spans_raw"),
-    )
+    single-scan input, e.g. docspans.interleaved_from_documents).
+    ``capped`` lets the caller pre-build (and observe) the capped frame."""
+    if capped is None:
+        capped = _capped_docs(docs, spans_cap)
     return (
         (capped.join(meta, "doc_id") if meta is not None else capped)
         .select(
@@ -235,13 +245,19 @@ def extract_refs_frontier(
 ):
     """Frontier fast path: media rows only, counters via ``observe``.
 
-    Returns ``(refs, obs_spans, obs_media)``. Non-media spans are dropped
-    *before* any URL enrichment (55% of spans carry no media_ref), and all
-    counters ride as observation metrics on the single extraction pass —
-    no persist, no separate counting actions. Read the observations after
-    the first action over ``refs``:
+    Returns ``(refs, obs_docs, obs_spans, obs_media)``. Non-media spans are
+    dropped *before* any URL enrichment (55% of spans carry no media_ref),
+    and all counters ride as observation metrics on the single extraction
+    pass — no persist, no separate counting actions. Read the observations
+    after the first action over ``refs``:
 
         not_media = obs_spans['spans_total'] - obs_media['media_total']
+
+    ``obs_docs`` carries the reference's page-level counters
+    (ImageIndexerWithDupsJob.java:120-139): ``pages`` (PAGES),
+    ``pages_with_media`` (PAGES_WITH_IMAGES), ``pages_span_capped``
+    (IMAGES_IN_HTML_EXCEDED) and ``spans_not_parsed``
+    (IMAGES_IN_HTML_NOT_PARSED — spans beyond the P4 cap).
     """
     from pyspark.sql import Observation
 
@@ -250,7 +266,21 @@ def extract_refs_frontier(
     # evaluates lambda HOFs interpreted (no codegen) and duplicated the
     # transform during projection collapse. The exploded + window plan stays
     # fully inside whole-stage codegen except the one window exchange.
-    exploded = _explode_spans_nocaption(docs, meta, spans_cap)
+    capped = _capped_docs(docs, spans_cap)
+    obs_docs = Observation()
+    media_kinds = F.array(F.lit("img"), F.lit("a"), F.lit("css"))
+    capped = capped.observe(
+        obs_docs,
+        F.count(F.lit(1)).alias("pages"),
+        # spans.kind projects the struct field out of the array (codegen'd);
+        # arrays_overlap avoids an interpreted lambda HOF on the hot path
+        F.count(F.when(F.arrays_overlap(F.col("spans.kind"), media_kinds), 1)).alias(
+            "pages_with_media"
+        ),
+        F.count(F.when(F.col("n_spans_raw") > spans_cap, 1)).alias("pages_span_capped"),
+        F.sum(F.greatest(F.col("n_spans_raw") - spans_cap, F.lit(0))).alias("spans_not_parsed"),
+    )
+    exploded = _explode_spans_nocaption(docs, meta, spans_cap, capped=capped)
     obs_spans = Observation()
     exploded = exploded.observe(obs_spans, F.count(F.lit(1)).alias("spans_total"))
 
@@ -302,7 +332,7 @@ def extract_refs_frontier(
         reason("a_not_image"),
         reason("css_already_parsed"),
     )
-    return refs, obs_spans, obs_media
+    return refs, obs_docs, obs_spans, obs_media
 
 
 def extract_refs_streaming(

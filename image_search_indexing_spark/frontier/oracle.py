@@ -140,7 +140,14 @@ class FrontierOracle:
         """Returns (rows, counter_increments). Rows = media-ref dicts."""
         cfg = self.cfg
         counters: dict[str, int] = {}
+        counters["pages"] = 1
+        n_raw = len(spans)
         spans = sorted(spans, key=lambda s: s["offset"])[: cfg.spans_cap]
+        if n_raw > cfg.spans_cap:
+            counters["pages_span_capped"] = 1
+            counters["spans_not_parsed"] = n_raw - cfg.spans_cap
+        if any(s["kind"] in ("img", "a", "css") for s in spans):
+            counters["pages_with_media"] = 1
 
         # precompute ref_url for every span for the css-vs-parsed check
         enriched = []

@@ -117,7 +117,7 @@ class FrontierDriver:
         ``finish_counters()`` after the first action over the frame."""
         from pyspark.sql import Observation
 
-        refs, obs_spans, obs_media = extract.extract_refs_frontier(
+        refs, obs_docs, obs_spans, obs_media = extract.extract_refs_frontier(
             docs, meta, spans_cap=self.cfg.spans_cap
         )
         valid = refs.where(F.col("drop_reason").isNull())
@@ -142,6 +142,7 @@ class FrontierDriver:
 
         def finish_counters() -> dict[str, int]:
             spans, med, rob = _obs_get(obs_spans), _obs_get(obs_media), _obs_get(obs_robots)
+            docs_o = _obs_get(obs_docs)
             g = lambda d, k: int(d.get(k) or 0)  # empty rounds observe None
             counters = {
                 k: g(med, k)
@@ -153,6 +154,11 @@ class FrontierDriver:
             counters["not_media"] = g(spans, "spans_total") - g(med, "media_total")
             counters["robots_blocked"] = g(rob, "robots_blocked")
             counters["round_candidates"] = g(med, "valid_ref") - counters["robots_blocked"]
+            # page-level parity counters (ImageIndexerWithDupsJob.java:120-139)
+            counters["pages"] = g(docs_o, "pages")
+            counters["pages_with_media"] = g(docs_o, "pages_with_media")
+            counters["pages_span_capped"] = g(docs_o, "pages_span_capped")
+            counters["spans_not_parsed"] = g(docs_o, "spans_not_parsed")
             return counters
 
         return cand, finish_counters

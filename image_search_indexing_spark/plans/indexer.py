@@ -61,13 +61,24 @@ def content_digest(ref_url) -> "F.Column":
 
 
 def attach_media_meta(
-    captures: DataFrame, media_df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+    captures: DataFrame,
+    media_df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    observation=None,
 ) -> DataFrame:
     """F3 + P2 + F9 over real bytes: SHA-256 content digest, decoded
     dimensions, magic-byte MIME and the reported-vs-detected mismatch flag
     (counter analog of ``ImageInformationExtractor.java:290-306``).
     Captures with no matching payload keep their path digest and pass the
-    gates (gates apply only to decoded images, as in the reference)."""
+    gates (gates apply only to decoded images, as in the reference).
+
+    When an ``Observation`` is supplied, the reference's per-image parse
+    counters (``ImageIndexerWithDupsJob.IMAGE_COUNTERS``, lines 70-98) ride
+    the same pass pre-gate: ``images_decoded`` (IMAGES_IN_WARC_TOTAL with
+    bytes), ``images_too_small`` / ``images_too_large`` (P2 gates),
+    ``images_mime_invalid`` (no known magic — MIME_INVALID) and
+    ``images_mime_wrong`` (detected ≠ reported — MIME_WRONG)."""
     from ..operators import multimodal as MM
 
     meta = MM.decode_image_meta(
@@ -79,7 +90,50 @@ def attach_media_meta(
         "height",
         "mime_detected",
     )
-    joined = captures.join(meta, "img_url", "left")
+    ext = F.lower(F.regexp_extract("img_url", r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
+    reported = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _EXT_MIME.items() for x in kv]), ext
+    )
+    joined = (
+        captures.join(meta, "img_url", "left")
+        .withColumn("mime_reported", reported)
+        .withColumn(
+            "mime_mismatch",
+            F.col("mime_detected").isNotNull()
+            & F.col("mime_reported").isNotNull()
+            & (F.col("mime_detected") != F.col("mime_reported")),
+        )
+    )
+    if observation is not None:
+        decoded = F.col("width").isNotNull()
+        joined = joined.observe(
+            observation,
+            F.count(F.when(decoded, 1)).alias("images_decoded"),
+            F.count(
+                F.when(
+                    decoded
+                    & ((F.col("width") < MM.MIN_WIDTH) | (F.col("height") < MM.MIN_HEIGHT)),
+                    1,
+                )
+            ).alias("images_too_small"),
+            F.count(
+                F.when(
+                    decoded & (F.col("width").cast("long") * F.col("height") > MM.MAX_AREA), 1
+                )
+            ).alias("images_too_large"),
+            F.count(F.when(F.col("mime_detected") == "application/octet-stream", 1)).alias(
+                "images_mime_invalid"
+            ),
+            # wrong = detected a KNOWN type that differs from reported (the
+            # reference's invalid/wrong branches are disjoint)
+            F.count(
+                F.when(
+                    F.col("mime_mismatch")
+                    & (F.col("mime_detected") != "application/octet-stream"),
+                    1,
+                )
+            ).alias("images_mime_wrong"),
+        )
     gated = joined.where(
         F.col("width").isNull()
         | (
@@ -88,21 +142,9 @@ def attach_media_meta(
             & (F.col("width").cast("long") * F.col("height") <= MM.MAX_AREA)
         )
     )
-    ext = F.lower(F.regexp_extract("img_url", r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
-    reported = F.element_at(
-        F.create_map(*[F.lit(x) for kv in _EXT_MIME.items() for x in kv]), ext
-    )
-    return (
-        gated.withColumn("digest", F.coalesce("__content_digest", F.col("digest")))
-        .withColumn("mime_reported", reported)
-        .withColumn(
-            "mime_mismatch",
-            F.col("mime_detected").isNotNull()
-            & F.col("mime_reported").isNotNull()
-            & (F.col("mime_detected") != F.col("mime_reported")),
-        )
-        .drop("__content_digest")
-    )
+    return gated.withColumn(
+        "digest", F.coalesce("__content_digest", F.col("digest"))
+    ).drop("__content_digest")
 
 
 def build_records(spark: SparkSession, sf_dir: str, media_df: DataFrame | None = None):
@@ -114,7 +156,7 @@ def build_records(spark: SparkSession, sf_dir: str, media_df: DataFrame | None =
     return records_from_refs(refs, media_df)
 
 
-def records_from_refs(refs: DataFrame, media_df: DataFrame | None = None):
+def records_from_refs(refs: DataFrame, media_df: DataFrame | None = None, observation=None):
     """(captures, page_records) from an already-extracted valid-refs frame."""
     captures = refs.select(
         "surt",
@@ -125,7 +167,7 @@ def records_from_refs(refs: DataFrame, media_df: DataFrame | None = None):
         F.col("img_filename_tokens").alias("img_title"),
     )
     if media_df is not None:
-        captures = attach_media_meta(captures, media_df)
+        captures = attach_media_meta(captures, media_df, observation=observation)
     else:
         captures = (
             captures.withColumn("width", F.lit(None).cast("int"))
@@ -300,6 +342,57 @@ def compact_from_records(captures: DataFrame, pages: DataFrame) -> DataFrame:
         "first_page_url",
         "first_page_ts",
     )
+
+
+def counters_from_records(
+    captures: DataFrame, pages: DataFrame, full: DataFrame
+) -> DataFrame:
+    """Job-level counter parity, long format ``(counter, value)``.
+
+    Mirrors the merge job's COUNTERS (``DupDigestMergerJob.java:67-90``:
+    RECORDS_IN / RECORDS_OUT / RECORDS_WITH(OUT)_METADATA /
+    URL_IMAGES_PAGESALL / URL_IMAGESALL_PAGES / URL_IMAGES_PAGES) and job
+    1's REDUCE_COUNTERS (``ImageIndexerWithDupsJob.java:141-151``,
+    URL_IMAGES_PAGES_MULIPLE_DIGEST), computed from the same frames the
+    FULL plan consumes — each input is scanned once into a 1-row aggregate
+    and the scalars are unpivoted driver-free."""
+    caps_agg = captures.agg(
+        F.count("*").alias("url_imagesall_pages"),
+        F.countDistinct("digest").alias("records_in"),
+        F.countDistinct("surt").alias("url_images_pages"),
+    )
+    multi = (
+        captures.groupBy("surt")
+        .agg(F.countDistinct("digest").alias("nd"))
+        .agg(F.count(F.when(F.col("nd") > 1, 1)).alias("url_images_pages_multiple_digest"))
+    )
+    pages_agg = pages.agg(F.count("*").alias("url_images_pagesall"))
+    full_agg = full.agg(
+        F.count("*").alias("records_out_full"),
+        F.countDistinct(
+            F.when(F.col("page_url").isNotNull(), F.col("digest"))
+        ).alias("records_with_metadata"),
+    )
+    wide = (
+        caps_agg.crossJoin(multi)
+        .crossJoin(pages_agg)
+        .crossJoin(full_agg)
+        .withColumn(
+            "records_without_metadata",
+            F.col("records_in") - F.col("records_with_metadata"),
+        )
+    )
+    return (
+        wide.unpivot([], wide.columns, "counter", "value")
+        .select("counter", F.col("value").cast("long").alias("value"))
+        .orderBy("counter")
+    )
+
+
+def indexer_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    captures, pages = build_records(spark, sf_dir)
+    full = full_from_records(captures, pages)
+    return counters_from_records(captures, pages, full)
 
 
 def to_jsonl(df: DataFrame, path: str, field_order: list[str] | None = None) -> None:

@@ -133,6 +133,10 @@ def test_counters_match_oracle(engine_and_oracle):
         "seen_total",
         "url_too_long",
         "a_not_image",
+        "pages",
+        "pages_with_media",
+        "pages_span_capped",
+        "spans_not_parsed",
     ]
     for r in range(N_ROUNDS):
         for k in keys:
@@ -280,3 +284,37 @@ def test_pending_compaction_preserves_equality(spark, corpus, corpus_py, tmp_pat
             {k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[r]
         ]
     assert counters[-1]["pending_after"] == state.counters[-1]["pending_after"]
+
+
+def test_span_cap_counters_match_oracle(spark, corpus, corpus_py, tmp_path_factory):
+    """P4 cap exercised: with spans_cap=4 (mean_spans=10) most docs get
+    truncated — EXCEDED/NOT_PARSED counters and the scheduled batches must
+    still match the oracle exactly (cap applies in offset order)."""
+    wd = str(tmp_path_factory.mktemp("frontier-capped"))
+    drv = FrontierDriver(
+        spark,
+        wd,
+        FrontierConfig(n_rounds=2, n_buckets=16, n_salts=4, default_budget=5, spans_cap=4),
+    )
+    counters = drv.run(
+        corpus["docs"], corpus["meta"], corpus["seeds"], corpus["politeness"],
+        corpus["robots"], n_rounds=2,
+    )
+    oracle = FrontierOracle(
+        OracleConfig(n_rounds=2, default_budget=5, spans_cap=4),
+        seeds=corpus_py["seeds"],
+        politeness=corpus_py["politeness"],
+        robots=corpus_py["robots"],
+    )
+    state = oracle.run(corpus_py["docs"], 2)
+    assert sum(c["pages_span_capped"] for c in counters) > 0
+    assert sum(c["spans_not_parsed"] for c in counters) > 0
+    for r in range(2):
+        for k in ("pages", "pages_with_media", "pages_span_capped",
+                  "spans_not_parsed", "valid_ref", "scheduled", "seen_total"):
+            assert counters[r].get(k, 0) == state.counters[r].get(k, 0), (
+                f"round {r} counter {k}: {counters[r].get(k)} vs {state.counters[r].get(k)}"
+            )
+        assert _batch_rows(drv, r) == [
+            {k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[r]
+        ]

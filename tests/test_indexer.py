@@ -253,3 +253,79 @@ def test_media_size_gates_and_mime_mismatch(spark):
     assert r["mime_detected"] == "application/octet-stream"
     assert r["mime_reported"] == "image/jpeg"
     assert r["mime_mismatch"] is True
+
+
+def test_media_gate_counters_observation(spark):
+    """IMAGE_COUNTERS parity (ImageIndexerWithDupsJob.java:70-98): the
+    parse-stage counters ride an Observation on the attach_media_meta pass —
+    too-small gate hits, octet-stream = MIME_INVALID, known-but-different
+    magic = MIME_WRONG."""
+    from pyspark.sql import Observation
+
+    from image_search_indexing_spark.plans.indexer import records_from_refs
+
+    url_small = "http://www.hosta.pt/x/tiny.jpg"
+    url_good = "http://www.hosta.pt/x/good.jpg"
+    url_png = "http://www.hosta.pt/x/fake.jpg"  # png magic, .jpg name
+    rows = [
+        ("d1", [_t("cap", 0), _img(url_small, 1)]),
+        ("d2", [_t("cap", 0), _img(url_good, 1)]),
+        ("d3", [_t("cap", 0), _img(url_png, 1)]),
+    ]
+    tiny = _find_payload(lambda w, h: w < 51)
+    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    # a payload with PNG magic whose stub dims pass the gates
+    png = b"\x89PNG\r\n\x1a\n" + good
+    w, h = _stub_dims(png)
+    assert w >= 51 and h >= 51  # fixture sanity: survives the gate
+    media = spark.createDataFrame(
+        [(url_small, bytearray(tiny)), (url_good, bytearray(good)), (url_png, bytearray(png))],
+        "url string, payload binary",
+    )
+    obs = Observation()
+    captures, _ = records_from_refs(_refs(spark, rows), media, observation=obs)
+    n = captures.count()  # action → observation materializes
+    got = obs.get
+    assert got["images_decoded"] == 3
+    assert got["images_too_small"] == 1
+    assert got["images_too_large"] == 0
+    # tiny+good are stub payloads with no magic → invalid; png is wrong
+    assert got["images_mime_invalid"] == 2
+    assert got["images_mime_wrong"] == 1
+    assert n == 2  # tiny gated out
+
+
+def test_indexer_counters_long_format(spark):
+    """counters_from_records: merge-job counter algebra over a corpus with
+    a cross-surt shared digest (2 surts, 1 digest) plus a singleton."""
+    import hashlib
+
+    from image_search_indexing_spark.plans.indexer import (
+        counters_from_records,
+        full_from_records,
+        records_from_refs,
+    )
+
+    url_a = "http://www.hosta.pt/x/one.jpg"
+    url_b = "http://www.hostb.org/y/two.jpg"
+    url_c = "http://www.hostc.com/z/three.jpg"
+    rows = [
+        ("d1", [_t("cap one", 0), _img(url_a, 1)]),
+        ("d2", [_t("cap two", 0), _img(url_b, 1)]),
+        ("d3", [_t("cap three", 0), _img(url_c, 1)]),
+    ]
+    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    media = spark.createDataFrame(
+        [(url_a, bytearray(good)), (url_b, bytearray(good))], "url string, payload binary"
+    )
+    captures, pages = records_from_refs(_refs(spark, rows), media)
+    full = full_from_records(captures, pages)
+    got = {r["counter"]: r["value"] for r in counters_from_records(captures, pages, full).collect()}
+    assert got["url_imagesall_pages"] == 3
+    assert got["url_images_pagesall"] == 3
+    assert got["records_in"] == 2  # a+b share the byte digest, c has its own
+    assert got["url_images_pages"] == 3
+    assert got["url_images_pages_multiple_digest"] == 0
+    assert got["records_out_full"] == 3
+    assert got["records_with_metadata"] == 2
+    assert got["records_without_metadata"] == 0
