@@ -240,6 +240,17 @@ def _emb_near_dup_pairs(spark, sf):
     return near_dup_pairs(_t(spark, sf, "embeddings"), dim=64, threshold=0.35, n_planes=4)
 
 
+def _near_dup_components(spark, sf):
+    """Near-dup GROUP assignment: embedding-LSH pairs → connected
+    components (large-star/small-star), singletons keep their own id."""
+    from image_search_indexing_spark.operators.dedup import connected_components
+    from image_search_indexing_spark.operators.similarity import near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=4)
+    return connected_components(pairs, nodes=emb, node_col="vec_id")
+
+
 def _simhash_buckets_md5(spark, sf):
     from image_search_indexing_spark.operators.dedup import simhash_buckets_md5
 
@@ -424,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _ann_topk_lsh,
         "ivf_topk": _ivf_topk,
         "emb_near_dup_pairs": _emb_near_dup_pairs,
+        "near_dup_components": _near_dup_components,
         "token_estimates": _token_estimates,
         "session_stats": _session_stats,
         "hourly_rollup": _hourly_rollup,
@@ -699,6 +711,29 @@ def _near_dup_sql(dim: int = 64, threshold: float = 0.35, n_planes: int = 4) -> 
     """
 
 
+def _near_dup_components_sql(dim: int = 64, threshold: float = 0.35, n_planes: int = 4) -> str:
+    """Min-reachable-id per node via a recursive CTE — the oracle for the
+    large-star/small-star Spark implementation (result is algorithm-
+    independent: component = min id reachable over the pair graph)."""
+    return f"""
+        WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_expr('v', dim, n_planes)} AS bucket FROM e),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE list_cosine_similarity(a.v, b2.v) >= {threshold}),
+        sym AS (SELECT id_a AS u, id_b AS w FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT re.node, s.w FROM reach re JOIN sym s ON re.r = s.u
+        )
+        SELECT node::BIGINT AS node, min(r)::BIGINT AS component
+        FROM reach GROUP BY node
+    """
+
+
 def _simhash_md5_sql(prefix_bits: int = 16, bits: int = 60) -> str:
     """60-bit md5 SimHash in pure SQL: hex digits → BIGINT via strpos
     arithmetic, per-bit sign sums over exploded tokens (mirrors
@@ -791,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "indexer_counters": _INDEXER_COUNTERS_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
+        "near_dup_components": _near_dup_components_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),
         "lang_quality": _lang_quality_sql(),
         "token_estimates": r"""

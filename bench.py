@@ -61,7 +61,14 @@ def log(*a):
 def bench_gen_config(n_docs: int):
     from image_search_indexing_spark.frontier.datagen import GenConfig
 
-    return GenConfig(n_docs=n_docs, n_hosts=2000, dup_rate=0.25)
+    # skew-leg knobs: SPARK_GRAFT_BENCH_HOSTS=8 SPARK_GRAFT_BENCH_ZIPF=2.0
+    # concentrates ~half the candidates on one host (straggler evidence)
+    return GenConfig(
+        n_docs=n_docs,
+        n_hosts=int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "2000")),
+        zipf_alpha=float(os.environ.get("SPARK_GRAFT_BENCH_ZIPF", "1.3")),
+        dup_rate=0.25,
+    )
 
 
 def corpus_dir(cfg) -> str:
@@ -107,7 +114,9 @@ def stage_stats(spark, top_n: int = 10) -> list[dict]:
     app = spark.sparkContext.applicationId
     try:
         with urllib.request.urlopen(
-            f"{url}/api/v1/applications/{app}/stages?status=complete", timeout=10
+            f"{url}/api/v1/applications/{app}/stages?status=complete"
+            "&withSummaries=true&quantiles=0.0,0.5,1.0",
+            timeout=10,
         ) as r:
             stages = _json.loads(r.read())
     except Exception as ex:  # UI off / API drift — evidence is best-effort
@@ -129,6 +138,12 @@ def stage_stats(spark, top_n: int = 10) -> list[dict]:
                 "spill_mb": round((s.get("memoryBytesSpilled") or 0) / 1e6, 1),
             }
         )
+        # straggler instrument: median vs max task run time (skew shows up
+        # as max >> median in the window stage)
+        dist = (s.get("taskMetricsDistributions") or {}).get("executorRunTime")
+        if dist and len(dist) == 3:
+            out[-1]["task_run_ms_med"] = int(dist[1])
+            out[-1]["task_run_ms_max"] = int(dist[2])
     return out
 
 
@@ -148,8 +163,12 @@ def bench_frontier(spark, n_docs: int, n_rounds: int) -> dict:
     cfg = FrontierConfig(
         n_rounds=n_rounds,
         n_buckets=max(32, CPUS * 2),
-        n_salts=16,
-        default_budget=1 << 30,  # throughput mode: schedule everything new
+        # skew-leg knobs: bounded budget + SALTS=1 reproduces the naive
+        # single-window-per-host plan for the straggler comparison
+        n_salts=int(os.environ.get("SPARK_GRAFT_BENCH_SALTS", "16")),
+        default_budget=int(
+            os.environ.get("SPARK_GRAFT_BENCH_BUDGET", str(1 << 30))
+        ),  # default: throughput mode, schedule everything new
         expected_per_bucket=max(4096, int(n_docs * 6 / max(32, CPUS * 2))),
     )
     drv = FrontierDriver(spark, wd, cfg)

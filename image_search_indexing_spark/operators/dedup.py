@@ -198,3 +198,87 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Duplicate-pair graph → ``(node, component)``, component = min
+    reachable id — the group-assignment step after any near-dup pass
+    (MinHash/SimHash/embedding pairs give EDGES; curation needs GROUPS,
+    one champion per component, exactly like the reference's digest-merge
+    collapses a group: ``DupDigestMergerJob.java:151-174``).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14) — O(log²)
+    rounds on any graph shape, so a 10^9-node duplicate chain converges in
+    tens of shuffles where naive label propagation needs diameter rounds.
+    Each half-step is one groupBy + one co-partitioned join on the node id;
+    adjacency is NEVER collected into arrays (a 10^8-degree hub node would
+    OOM a ``collect_list`` — here it is just a big, AQE-splittable group).
+
+    ``nodes``/``node_col`` optionally add isolated nodes (own-id
+    components). Convergence: edge-set fingerprint (count + xor of row
+    hashes) fixpoint, capped at ``max_iter`` alternations.
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        dird = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = dird.groupBy("u").agg(F.min("v").alias("m"))
+        moved = dird.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            moved.union(self_link).where(F.col("u") != F.col("v")).distinct()
+        )
+
+    def fingerprint(edges: DataFrame):
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # xor, not sum: order-independent and overflow-free under ANSI
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        fp = fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+
+    # at the fixpoint every edge is (node, root); roots map to themselves
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col or "node").cast("long").alias("node")).distinct()
+        out = (
+            all_nodes.join(out, "node", "left")
+            .select("node", F.coalesce("component", F.col("node")).alias("component"))
+        )
+    return out

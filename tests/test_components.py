@@ -1,0 +1,78 @@
+"""connected_components (large-star/small-star) vs a python union-find.
+
+Shapes chosen to break naive implementations: a long PATH (diameter =
+n — label propagation would need n rounds; large/small-star must converge
+in O(log²)), a high-degree HUB (adjacency must never be collected into an
+array), and multiple components with singletons.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from image_search_indexing_spark.operators.dedup import connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min reachable id
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def _check(spark, n_nodes, edges, max_iter=30):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n_nodes).select(F.col("id").alias("vec_id"))
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, nodes=nodes, node_col="vec_id", max_iter=max_iter
+        ).collect()
+    }
+    assert got == _union_find(n_nodes, edges)
+
+
+def test_path_graph_converges_fast(spark):
+    """A 64-node path: diameter 63, but star alternation needs ≲ log² rounds
+    (max_iter=12 would fail a diameter-bound algorithm)."""
+    edges = [(i, i + 1) for i in range(63)]
+    _check(spark, 70, edges, max_iter=12)  # 64..69 are singletons
+
+
+def test_hub_and_multi_components(spark):
+    edges = [(0, i) for i in range(1, 40)]  # hub at 0
+    edges += [(50, 51), (51, 52), (52, 50)]  # triangle
+    edges += [(60, 61)]
+    _check(spark, 65, edges)
+
+
+def test_random_graph_matches_union_find(spark):
+    rnd = random.Random(7)
+    n = 120
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, n, edges)
+
+
+def test_empty_pairs_all_singletons(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.range(5).select(F.col("id").alias("vec_id"))
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes, node_col="vec_id").collect()
+    }
+    assert got == {i: i for i in range(5)}
