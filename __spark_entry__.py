@@ -240,6 +240,14 @@ def _emb_near_dup_pairs(spark, sf):
     return near_dup_pairs(_t(spark, sf, "embeddings"), dim=64, threshold=0.35, n_planes=4)
 
 
+def _text_dup_groups(spark, sf):
+    """Full text-dedup pipeline: MinHash-LSH pair candidates → exact
+    Jaccard verify → connected components; one group id per document."""
+    from image_search_indexing_spark.operators.dedup import text_dup_groups
+
+    return text_dup_groups(_t(spark, sf, "documents"), threshold=0.5)
+
+
 def _near_dup_components(spark, sf):
     """Near-dup GROUP assignment: embedding-LSH pairs → connected
     components (large-star/small-star), singletons keep their own id."""
@@ -436,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "emb_near_dup_pairs": _emb_near_dup_pairs,
         "near_dup_components": _near_dup_components,
+        "text_dup_groups": _text_dup_groups,
         "token_estimates": _token_estimates,
         "session_stats": _session_stats,
         "hourly_rollup": _hourly_rollup,
@@ -711,6 +720,53 @@ def _near_dup_sql(dim: int = 64, threshold: float = 0.35, n_planes: int = 4) -> 
     """
 
 
+def _text_dup_groups_sql(threshold: float = 0.5) -> str:
+    """MinHash bands → distinct pairs → exact-Jaccard verify → recursive
+    min-reachable components; mirrors operators/dedup.text_dup_groups.
+    The Jaccard threshold compare is a single int/int division on both
+    engines, so the float boundary is bit-identical."""
+    toks = _TOKS.format(c="text")
+    shingles = _SHINGLES.format(t="toks")
+    return f"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, {toks} AS toks FROM documents),
+        sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
+        sig AS (
+          SELECT doc_id,
+            [list_min([md5(j::VARCHAR || '|' || s) for s in shingles])
+             for j in range(0, 8)] AS mh
+          FROM sh),
+        bands AS (
+          SELECT doc_id, b AS band,
+                 md5(mh[2*b + 1] || '|' || mh[2*b + 2]) AS band_hash
+          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand JOIN shd a ON a.doc_id = cand.id_a
+                    JOIN shd b ON b.doc_id = cand.id_b
+          WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                 THEN len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s)))
+                 ELSE 0.0 END) >= {threshold}),
+        sym AS (SELECT id_a AS u, id_b AS w FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT re.node, s.w FROM reach re JOIN sym s ON re.r = s.u
+        )
+        SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS group_id
+        FROM reach GROUP BY node
+    """
+
+
 def _near_dup_components_sql(dim: int = 64, threshold: float = 0.35, n_planes: int = 4) -> str:
     """Min-reachable-id per node via a recursive CTE — the oracle for the
     large-star/small-star Spark implementation (result is algorithm-
@@ -827,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
         "near_dup_components": _near_dup_components_sql(),
+        "text_dup_groups": _text_dup_groups_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),
         "lang_quality": _lang_quality_sql(),
         "token_estimates": r"""

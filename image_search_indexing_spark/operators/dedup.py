@@ -50,7 +50,7 @@ def minhash_signature(text: Column, k: int = 8, shingle_words: int = 3) -> Colum
     )
 
 
-def minhash_lsh_buckets(
+def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -58,11 +58,8 @@ def minhash_lsh_buckets(
     bands: int = 4,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """LSH candidate buckets: (band, band_hash, n_docs, doc_ids) with >1 doc.
-
-    rows_per_band = k // bands; docs sharing any band hash are near-dup
-    candidates. doc_ids are sorted for deterministic output.
-    """
+    """One row per (doc, band): ``(id_col, band, band_hash)`` — the shared
+    LSH core of the bucket-listing and pair-emitting variants."""
     rows = k // bands
     # materialize tokens, then shingles, then the signature — inlining the
     # shingle expression into all K min-hash expressions makes Catalyst
@@ -101,14 +98,89 @@ def minhash_lsh_buckets(
         )
         for b in range(bands)
     ]
-    exploded = with_sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")).select(
+    return with_sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")).select(
         id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
     )
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """LSH candidate buckets: (band, band_hash, n_docs, doc_ids) with >1 doc.
+
+    rows_per_band = k // bands; docs sharing any band hash are near-dup
+    candidates. doc_ids are sorted for deterministic output. NOTE the
+    per-bucket id list is an aggregation-buffer array — fine for reporting
+    buckets, but on an adversarial corpus one degenerate bucket can hold
+    the whole table; the production path is ``minhash_candidate_pairs``
+    (pairs stream out of the join, nothing accumulates per bucket).
+    """
+    exploded = minhash_bands(docs, text_col, id_col, k, bands, shingle_words)
     return (
         exploded.groupBy("band", "band_hash")
         .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-dup candidate PAIRS ``(id_a, id_b)``, id_a < id_b, distinct
+    across bands. The skew-safe LSH shape: a within-bucket self-join emits
+    pairs incrementally (sort-merge/hash join state, AQE-splittable), so no
+    per-bucket array ever materializes."""
+    b = minhash_bands(docs, text_col, id_col, k, bands, shingle_words)
+    a = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    c = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(c, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def text_dup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end text dedup GROUPS: MinHash-LSH candidates → exact n-gram
+    Jaccard verification (≥ ``threshold``) → connected components. Output
+    ``(doc_id, group_id)`` for EVERY doc (singletons map to themselves) —
+    keep one champion per group_id and the corpus is near-dup-free.
+
+    Every stage is the scale shape: bands shuffle by (band, band_hash),
+    pairs stream out of the bucket join, verification touches only
+    candidate pairs (never all-pairs), grouping is O(log²)-round
+    large-star/small-star."""
+    cand = minhash_candidate_pairs(docs, text_col, id_col, k, bands, shingle_words)
+    t = docs.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
+    withtext = (
+        cand.join(t.withColumnRenamed("__tid", "id_a").withColumnRenamed("__text", "__ta"), "id_a")
+        .join(t.withColumnRenamed("__tid", "id_b").withColumnRenamed("__text", "__tb"), "id_b")
+    )
+    verified = withtext.where(
+        ngram_jaccard(F.col("__ta"), F.col("__tb"), shingle_words) >= threshold
+    ).select("id_a", "id_b")
+    return connected_components(
+        verified, nodes=docs.select(id_col), node_col=id_col
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
 
 
 def simhash64(text: Column) -> Column:
