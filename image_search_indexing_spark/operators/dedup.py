@@ -298,7 +298,6 @@ def connected_components(
     components). Convergence: edge-set fingerprint (count + xor of row
     hashes) fixpoint, capped at ``max_iter`` alternations.
     """
-    spark = pairs.sparkSession
     e = pairs.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     ).where(F.col("u") != F.col("v"))

@@ -101,7 +101,7 @@ def test_minhash_pairs_equal_bucket_pairs(spark):
 def test_text_dup_groups_shape(spark):
     """Groups are well-formed: every doc assigned, group_id is the min
     member, and grouped docs really verify above the Jaccard threshold."""
-    from image_search_indexing_spark.operators.dedup import ngram_jaccard, text_dup_groups
+    from image_search_indexing_spark.operators.dedup import text_dup_groups
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = text_dup_groups(docs, threshold=0.5).collect()
