@@ -248,6 +248,31 @@ def _text_dup_groups(spark, sf):
     return text_dup_groups(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def _dedup_champions(spark, sf):
+    """The curation endgame: one champion per near-dup group — highest
+    quality_score, ties to the lowest doc_id. Filtering the corpus to
+    champion_doc_id yields the deduplicated training set."""
+    from image_search_indexing_spark.functions import text as TX
+    from image_search_indexing_spark.operators.dedup import text_dup_groups
+
+    docs = _t(spark, sf, "documents")
+    groups = text_dup_groups(docs, threshold=0.5)
+    q = docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality"))
+    j = groups.join(q, "doc_id")
+    champ = F.min_by(
+        F.struct("doc_id", "quality"),
+        F.struct((-F.col("quality")).alias("nq"), F.col("doc_id")),
+    )
+    return j.groupBy("group_id").agg(
+        champ.alias("c"), F.count("*").alias("group_size")
+    ).select(
+        "group_id",
+        F.col("c.doc_id").alias("champion_doc_id"),
+        F.col("c.quality").alias("champion_quality"),
+        "group_size",
+    )
+
+
 def _near_dup_components(spark, sf):
     """Near-dup GROUP assignment: embedding-LSH pairs → connected
     components (large-star/small-star), singletons keep their own id."""
@@ -445,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": _emb_near_dup_pairs,
         "near_dup_components": _near_dup_components,
         "text_dup_groups": _text_dup_groups,
+        "dedup_champions": _dedup_champions,
         "token_estimates": _token_estimates,
         "session_stats": _session_stats,
         "hourly_rollup": _hourly_rollup,
@@ -767,6 +793,27 @@ def _text_dup_groups_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _dedup_champions_sql() -> str:
+    """Groups CTE (the full recursive text-dedup SQL) joined to the
+    quality CTE (the lang_quality SQL), champion by (quality DESC,
+    doc_id) — rounded quality on both engines so the tie boundary is
+    bit-identical."""
+    return f"""
+        WITH groups AS ({_text_dup_groups_sql()}),
+        q AS (SELECT doc_id, quality FROM ({_lang_quality_sql()})),
+        j AS (SELECT g.group_id, g.doc_id, q.quality
+              FROM groups g JOIN q ON q.doc_id = g.doc_id)
+        SELECT group_id, doc_id AS champion_doc_id,
+               quality AS champion_quality, group_size
+        FROM (
+          SELECT group_id, doc_id, quality,
+                 count(*) OVER (PARTITION BY group_id) AS group_size,
+                 row_number() OVER (PARTITION BY group_id
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM j) WHERE rn = 1
+    """
+
+
 def _near_dup_components_sql(dim: int = 64, threshold: float = 0.35, n_planes: int = 4) -> str:
     """Min-reachable-id per node via a recursive CTE — the oracle for the
     large-star/small-star Spark implementation (result is algorithm-
@@ -884,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": _near_dup_sql(),
         "near_dup_components": _near_dup_components_sql(),
         "text_dup_groups": _text_dup_groups_sql(),
+        "dedup_champions": _dedup_champions_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),
         "lang_quality": _lang_quality_sql(),
         "token_estimates": r"""
