@@ -466,17 +466,38 @@ class FrontierDriver:
         else:
             fresh = ts_new
 
-        # how many of these are actually in the (effective) seen set — read
+        # which of these are actually in the (effective) seen set — read
         # only the affected buckets (partition pruning on the seen table)
         seen = cat.read_table(spark, "seen", snap)
         n_removed = 0
+        stale = None  # tombstoned AND once-scheduled url_hashes
         if seen is not None:
             buckets = [int(r["bucket"]) for r in fresh.select("bucket").distinct().collect()]
             if buckets:
                 seen_slice = seen.where(F.col("bucket").isin(buckets)).select("url_hash")
-                n_removed = (
-                    fresh.join(seen_slice, "url_hash", "left_semi").count()
-                )
+                stale = fresh.join(seen_slice, "url_hash", "left_semi").select(
+                    "url_hash"
+                ).persist()
+                n_removed = stale.count()
+
+        # Purge the pending DELTAS of rows for tombstoned-and-once-scheduled
+        # URLs: a URL scheduled from the queue in round r+1 leaves its stale
+        # row behind in round r's delta file; tombstoning it would otherwise
+        # resurrect that stale row next round and reschedule the URL WITHOUT
+        # a rediscovery — the oracle (which deletes pending entries at
+        # schedule time) only reschedules on rediscovery. A tombstoned URL
+        # that was never scheduled keeps its live queue rows (invalidating an
+        # uncrawled URL is a no-op for the queue, matching the oracle), and
+        # rows discovered AFTER this call are written fresh and stay live.
+        # Cost: one O(queue) compaction per invalidate() — invalidation is a
+        # rare administrative event, and ``stale`` is broadcast-small.
+        if stale is not None and n_removed > 0:
+            pending = cat.read_table(spark, "pending", snap)
+            if pending is not None:
+                purged = pending.join(F.broadcast(stale), "url_hash", "left_anti")
+                tables["pending"] = [cat.write_table(purged, "pending", f"{sid_next}-inv")]
+        if stale is not None:
+            stale.unpersist()
 
         merged = ts_new if old_tomb is None else old_tomb.unionByName(
             ts_new.join(old_tomb.select("url_hash"), "url_hash", "left_anti")
@@ -500,7 +521,12 @@ class FrontierDriver:
     def pending_live(self) -> DataFrame | None:
         """The LIVE pending queue: delta files folded to champions, rows
         scheduled in the meantime (now in ``seen``) dropped — the same view
-        a round's step 2+3 reconstructs, and what compaction materializes."""
+        a round's step 2+3 reconstructs, and what compaction materializes.
+
+        Seen-ness is the EFFECTIVE set (seen minus tombstones), mirroring
+        ``seen.filter_new_urls``: with an active invalidation, a tombstoned
+        URL rediscovered into the queue is live here exactly as run_round
+        would treat it."""
         snap = self.catalog.snapshot()
         if snap is None:
             return None
@@ -510,5 +536,14 @@ class FrontierDriver:
         live = _dedup_candidates(pending.select(*CAND_COLS))
         seen = self.catalog.read_table(self.spark, "seen", snap)
         if seen is not None:
-            live = live.join(seen.select("url_hash"), "url_hash", "left_anti")
+            tomb = self.catalog.read_table(self.spark, "tombstones", snap)
+            if tomb is not None:
+                # (live ∉ seen) ∪ (live ∈ seen ∧ tombstoned) — exclusive
+                not_in_seen = live.join(seen.select("url_hash"), "url_hash", "left_anti")
+                resurrected = live.join(
+                    seen.select("url_hash"), "url_hash", "left_semi"
+                ).join(tomb.select("url_hash"), "url_hash", "left_semi")
+                live = not_in_seen.unionByName(resurrected)
+            else:
+                live = live.join(seen.select("url_hash"), "url_hash", "left_anti")
         return live

@@ -340,34 +340,61 @@ def filter_new_urls(
     """Return candidates not in the effective seen set (seen − tombstones).
 
     ``candidates`` and ``seen`` must already carry (h1, h2, bucket) — see
-    ``with_hashes``. Exactness contract: the filters only *route* rows; all
-    membership decisions come from the exact tables, so Bloom false
-    positives and cuckoo false positives never change the result.
+    ``with_hashes`` — and ``candidates`` must be UNIQUE per ``key`` (the
+    round driver calls this post-champion-dedup; the Bloom probe runs over
+    a projected key frame and joins its verdict back by ``key``, so a
+    duplicate key would fan out). Exactness contract: the filters only
+    *route* rows; all membership decisions come from the exact tables, so
+    Bloom false positives and cuckoo false positives never change the
+    result.
+
+    Scale shape: every probe and join operates on the CANDIDATE side —
+    tombstone resurrection is decided per maybe-seen row as
+    ``(∉ seen) ∨ (cuckoo-positive ∧ ∈ tombstones)``; the cuckoo verdict
+    (no false negatives) makes a negative final without consulting the
+    tombstone table, and the tombstone join itself runs over the small
+    maybe slice (tombstones are ≪ seen — broadcastable in the common
+    case). The 10^10-row seen table is only ever the build side of one
+    membership join and never flows through a Python kernel; an earlier
+    shape probed the whole seen table through the cuckoo cogroup —
+    O(seen) Arrow bytes per round once any tombstone existed.
     """
     if seen is None:
         return candidates
 
     if bloom_table is not None:
-        probed = bloom_probe(spark, candidates, bloom_table)
+        # probe a (key, h1, h2, bucket) projection — candidate payload
+        # strings stay JVM-side instead of round-tripping through Arrow
+        keys = candidates.select(key, "h1", "h2", "bucket")
+        verdict = bloom_probe(spark, keys, bloom_table).select(key, "maybe_seen")
+        probed = candidates.join(verdict, key)
         fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     else:
         fresh = None
         maybe = candidates
 
-    # effective seen = seen MINUS tombstones (deletions resurrect URLs)
-    if tombstones is not None and cuckoo_table is not None:
-        marked = cuckoo_probe(spark, seen, cuckoo_table)
-        not_deleted = marked.where(~F.col("maybe_deleted")).drop("maybe_deleted")
-        maybe_deleted = marked.where(F.col("maybe_deleted")).drop("maybe_deleted")
-        survivors = maybe_deleted.join(tombstones.select(key), key, "left_anti")
-        seen_eff = not_deleted.unionByName(survivors)
-    elif tombstones is not None:
-        seen_eff = seen.join(tombstones.select(key), key, "left_anti")
+    # exact membership flag for the maybe slice (seen is unique per key —
+    # one row per scheduled URL — so the left join cannot fan out). One
+    # linear flow (flag joins + a single filter), not a union of filtered
+    # branches: each union branch would re-execute the Bloom cogroup.
+    seen_keys = seen.select(F.col(key).alias("__seen_key")).withColumn("__in_seen", F.lit(1))
+    flagged = maybe.join(
+        seen_keys, maybe[key] == seen_keys["__seen_key"], "left"
+    ).drop("__seen_key")
+    if tombstones is not None:
+        if cuckoo_table is not None:
+            flagged = cuckoo_probe(spark, flagged, cuckoo_table)
+        else:
+            flagged = flagged.withColumn("maybe_deleted", F.lit(True))
+        t_keys = tombstones.select(F.col(key).alias("__t_key")).withColumn("__tomb", F.lit(1))
+        flagged = flagged.join(
+            t_keys, flagged[key] == t_keys["__t_key"], "left"
+        ).drop("__t_key")
+        keep = F.col("__in_seen").isNull() | (
+            F.col("maybe_deleted") & F.col("__tomb").isNotNull()
+        )
+        confirmed_new = flagged.where(keep).drop("__in_seen", "maybe_deleted", "__tomb")
     else:
-        seen_eff = seen
-
-    # exact confirm on the (small) maybe-seen slice
-    seen_keys = seen_eff.select(F.col(key).alias("__seen_key"))
-    confirmed_new = maybe.join(seen_keys, maybe[key] == seen_keys["__seen_key"], "left_anti")
+        confirmed_new = flagged.where(F.col("__in_seen").isNull()).drop("__in_seen")
     return confirmed_new if fresh is None else fresh.unionByName(confirmed_new)

@@ -168,16 +168,25 @@ def text_dup_groups(
     Every stage is the scale shape: bands shuffle by (band, band_hash),
     pairs stream out of the bucket join, verification touches only
     candidate pairs (never all-pairs), grouping is O(log²)-round
-    large-star/small-star."""
+    large-star/small-star. The verify join carries precomputed DISTINCT
+    shingle arrays, not raw document texts — shuffle bytes are
+    O(pairs × distinct shingles), and the shingling runs once per doc
+    instead of once per pair side (identical Jaccard semantics to
+    ``ngram_jaccard``; a production corpus can additionally xxhash64 each
+    shingle to 8 bytes at the cost of exact-oracle comparability).
+    Node ids must be integral (see ``connected_components``)."""
     cand = minhash_candidate_pairs(docs, text_col, id_col, k, bands, shingle_words)
-    t = docs.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
-    withtext = (
-        cand.join(t.withColumnRenamed("__tid", "id_a").withColumnRenamed("__text", "__ta"), "id_a")
-        .join(t.withColumnRenamed("__tid", "id_b").withColumnRenamed("__text", "__tb"), "id_b")
+    shd = docs.select(
+        F.col(id_col), F.array_distinct(TX.word_shingles(F.col(text_col), shingle_words)).alias("__sh")
     )
-    verified = withtext.where(
-        ngram_jaccard(F.col("__ta"), F.col("__tb"), shingle_words) >= threshold
-    ).select("id_a", "id_b")
+    withsh = (
+        cand.join(shd.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")), "id_a")
+        .join(shd.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    verified = withsh.where(jac >= threshold).select("id_a", "id_b")
     return connected_components(
         verified, nodes=docs.select(id_col), node_col=id_col
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
@@ -206,20 +215,16 @@ def simhash64(text: Column) -> Column:
     return out
 
 
-def simhash_buckets_md5(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    prefix_bits: int = 16,
-    bits: int = 60,
+def simhash_md5_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
-    """SQL-portable SimHash twin of ``simhash_buckets``.
+    """Per-doc 60-bit md5 SimHash: ``(id_col, simhash)``.
 
     Token hash = first 60 bits of md5 (``conv(hex, 16, 10)``), sign-summed
     per bit over EXPLODED tokens with codegen'd aggregates — both faster at
     corpus scale than the interpreted per-row HOF fold AND reproducible in
-    ANSI SQL (xxhash64 has no DuckDB equivalent, so the prod variant is
-    rows-only-checkable). Same (bucket, n_docs, doc_ids) output contract.
+    ANSI SQL (xxhash64 has no DuckDB equivalent, so the prod ``simhash64``
+    variant is rows-only-checkable).
     """
     toks = docs.select(
         F.col(id_col), F.explode(TX.word_tokens(F.col(text_col))).alias("__t")
@@ -241,13 +246,64 @@ def simhash_buckets_md5(
             F.when(F.coalesce(F.col(f"s{b}"), F.lit(0)) > 0, F.lit(1 << b).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
-    bucket = F.shiftright(sim, bits - prefix_bits)
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_buckets_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    bits: int = 60,
+) -> DataFrame:
+    """SQL-portable SimHash twin of ``simhash_buckets`` — REPORT variant.
+
+    Same (bucket, n_docs, doc_ids) output contract. Like the minhash
+    bucket-listing, the per-bucket id array is an aggregation buffer: fine
+    for inspecting buckets, unbounded on a degenerate corpus — the
+    production path is ``simhash_candidate_pairs``.
+    """
+    sim = simhash_md5_frame(docs, text_col, id_col, bits)
+    bucket = F.shiftright("simhash", bits - prefix_bits)
     return (
-        sums.select(F.col(id_col), bucket.alias("bucket"))
+        sim.select(F.col(id_col), bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    bits: int = 60,
+    max_hamming: int | None = 8,
+) -> DataFrame:
+    """Near-dup candidate PAIRS from SimHash — the skew-safe shape
+    (mirrors ``minhash_candidate_pairs``): docs sharing the top
+    ``prefix_bits`` bucket self-join and pairs STREAM out of the join
+    (sort-merge/hash state, AQE skew-splittable) instead of accumulating
+    per-bucket id arrays. The optional ``max_hamming`` gate applies the
+    exact 60-bit Hamming distance (``bit_count(a XOR b)``) as the verify
+    step, JVM-side. Returns ``(id_a, id_b, hamming)``, id_a < id_b."""
+    sim = simhash_md5_frame(docs, text_col, id_col, bits)
+    b = sim.select(
+        F.col(id_col), "simhash", F.shiftright("simhash", bits - prefix_bits).alias("bucket")
+    )
+    a = b.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "bucket")
+    pairs = (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming")
+        )
+    )
+    if max_hamming is not None:
+        pairs = pairs.where(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 def ngram_jaccard(a: Column, b: Column, shingle_words: int = 3) -> Column:
@@ -297,7 +353,29 @@ def connected_components(
     ``nodes``/``node_col`` optionally add isolated nodes (own-id
     components). Convergence: edge-set fingerprint (count + xor of row
     hashes) fixpoint, capped at ``max_iter`` alternations.
+
+    Node ids MUST be integral (the min-id component representative needs a
+    total order that survives the ``long`` cast; a string id would cast to
+    NULL under non-ANSI mode and silently collapse components). String ids
+    (e.g. url_hash md5s) should be mapped first, e.g.
+    ``df.withColumn("nid", F.xxhash64("url_hash"))`` plus a join back —
+    enforced here with an explicit error rather than a wrong answer.
     """
+    _INTEGRAL = ("byte", "short", "int", "long", "bigint", "integer", "smallint", "tinyint")
+
+    def _check_integral(df: DataFrame, col: str, what: str) -> None:
+        t = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get(col)
+        if t is not None and t not in _INTEGRAL:
+            raise TypeError(
+                f"connected_components requires an integral {what} column; "
+                f"'{col}' is {t} — hash string ids to long first "
+                f"(e.g. F.xxhash64('{col}')) and join the mapping back"
+            )
+
+    _check_integral(pairs, src_col, "edge id")
+    _check_integral(pairs, dst_col, "edge id")
+    if nodes is not None:
+        _check_integral(nodes, node_col or "node", "node id")
     e = pairs.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
     ).where(F.col("u") != F.col("v"))

@@ -15,6 +15,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap default sized from the host, not one sandbox.
+
+    32-thread local runs need a large heap (16g spilled ~14GB/stage —
+    BENCH/BASELINE.md), but a fixed 48g default would fail JVM startup on
+    smaller hosts. Use ~70% of MemTotal capped at 48g, floored at 4g; the
+    bench exports SPARK_DRIVER_MEM to pin its own value.
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(48, int(total_gb * 0.7)))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(
     app_name: str = "image_search_indexing_spark",
     master: str | None = None,
@@ -48,7 +67,7 @@ def get_spark(
         # local mode: the driver JVM hosts every executor thread, so the
         # heap must be sized for all concurrent tasks' execution memory —
         # 16g made 32-thread runs spill ~14GB/stage (BENCH/BASELINE.md)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # this sandbox's virtio disk serializes under concurrent IO (32

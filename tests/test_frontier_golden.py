@@ -251,6 +251,72 @@ def test_invalidation_resurrects_and_matches_oracle(spark, corpus, corpus_py, tm
     assert left == set(target) - resurrected
 
 
+def test_invalidation_of_queue_scheduled_url_without_rediscovery(
+    spark, corpus, corpus_py, tmp_path_factory
+):
+    """A URL discovered in round 0, scheduled FROM THE QUEUE in round 1,
+    then invalidated, must NOT reappear in round 2 unless round 2
+    rediscovers it. The stale copy in round 0's pending delta is purged at
+    invalidate() time (FrontierDriver.invalidate), matching the oracle,
+    which deletes pending entries at schedule time — without the purge the
+    tombstone would resurrect the stale delta row and reschedule the URL
+    with no rediscovery."""
+    wd = str(tmp_path_factory.mktemp("frontier-inv-stale"))
+    cfgs = dict(n_rounds=3, n_buckets=16, n_salts=4, default_budget=2)
+    drv = FrontierDriver(spark, wd, FrontierConfig(**cfgs))
+    args = (corpus["docs"], corpus["meta"], corpus["seeds"], corpus["politeness"], corpus["robots"])
+    drv.run(*args, n_rounds=2)
+
+    from image_search_indexing_spark.frontier.oracle import xxhash64
+
+    oracle = FrontierOracle(
+        OracleConfig(n_rounds=3, default_budget=2),
+        seeds=corpus_py["seeds"],
+        politeness=corpus_py["politeness"],
+        robots=corpus_py["robots"],
+    )
+    docs_by_round = {
+        r: [d for d in corpus_py["docs"] if xxhash64(d["doc_id"]) % 3 == r] for r in range(3)
+    }
+    state = OracleState()
+    oracle.run_round(0, docs_by_round[0], state)
+    pending0 = set(state.pending)
+    oracle.run_round(1, docs_by_round[1], state)
+    batch1 = {r["url_hash"] for r in state.fetch_batches[1]}
+    r2_hashes = {
+        row["url_hash"]
+        for d in docs_by_round[2]
+        for row in oracle.extract_doc(d["doc_id"], d["spans"], d["base_url"], d["fetch_ts"])[0]
+    }
+    target = sorted((pending0 & batch1) - r2_hashes)[:5]
+    assert target, (
+        "fixture must schedule some round-0 discoveries from the queue in "
+        "round 1 that round 2 does not rediscover"
+    )
+
+    inv_df = spark.createDataFrame([(h,) for h in target], "url_hash string")
+    assert drv.invalidate(inv_df)["invalidated_in_seen"] == len(target)
+    assert oracle.invalidate(state, target) == len(target)
+
+    c2_oracle = oracle.run_round(2, docs_by_round[2], state)
+    drv2 = FrontierDriver(spark, wd, FrontierConfig(**cfgs))
+    c2 = drv2.run(*args, n_rounds=3)[-1]
+
+    got = _batch_rows(drv2, 2)
+    want = [{k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[2]]
+    assert got == want
+    assert not ({r["url_hash"] for r in got} & set(target)), (
+        "invalidated-but-not-rediscovered URLs must not resurrect from "
+        "stale pending deltas"
+    )
+    for k in ("scheduled", "seen_total", "pending_after", "queue_after_dedup"):
+        assert c2.get(k, 0) == c2_oracle.get(k, 0), k
+    # the live queue view agrees with the oracle's pending dict
+    live = drv2.pending_live()
+    live_hashes = {r["url_hash"] for r in live.collect()} if live is not None else set()
+    assert live_hashes == set(state.pending)
+
+
 def test_pending_compaction_preserves_equality(spark, corpus, corpus_py, tmp_path_factory):
     """With a low compaction threshold the pending manifest folds back to
     one table on schedule, and the live queue still equals the oracle's."""

@@ -42,6 +42,31 @@ def test_cuckoo_deletions_resurrect(spark):
     assert {r["url_hash"] for r in new.collect()} == {r["url_hash"] for r in new2.collect()}
 
 
+def test_cuckoo_probe_runs_on_candidate_slice_not_seen_table(spark):
+    """Scale-shape regression guard: with tombstones active, the cuckoo
+    cogroup must probe the (tiny) in-seen candidate slice, NOT the full
+    seen table — an earlier shape piped O(seen) rows through Arrow every
+    round once any tombstone existed. Witness: exactly three Python
+    cogroups (the Bloom probe in each of the fresh/maybe union branches +
+    one cuckoo probe over the maybe slice), and the cuckoo cogroup's
+    subtree contains the ``__in_seen`` membership flag — proving it
+    consumes the flagged candidate slice, not the seen relation."""
+    seen = _urls(spark, 0, 3000)
+    cand = _urls(spark, 2000, 6000)
+    bloom = build_bloom_table(seen, 16)
+    tomb = _urls(spark, 2500, 3000)
+    cuckoo = build_cuckoo_table(tomb)
+    new = filter_new_urls(spark, cand, seen, bloom, tomb, cuckoo, n_buckets=16)
+    plan = new._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 3, plan
+    assert "__in_seen" in plan, plan
+    # the cuckoo cogroup sits ABOVE the membership join (printed first,
+    # children indented below): the text after it must still contain the
+    # __in_seen flag, i.e. the flag join is inside its subtree
+    tail = plan[plan.index("FlatMapCoGroupsInPandas"):]
+    assert "__in_seen" in tail, tail
+
+
 def test_bloom_rebuild_keeps_fpp_bounded(spark, corpus, tmpdir_path):
     """Capacity policy (rounds.py): filters sized for ~8 items/bucket get
     ~50x that inserted across rounds; overfull buckets must be rebuilt at a
