@@ -291,6 +291,15 @@ def _simhash_buckets_md5(spark, sf):
     return out.withColumn("doc_ids", _join_ints(F.col("doc_ids")))
 
 
+def _simhash_pairs(spark, sf):
+    """Pair-emitting SimHash (the skew-safe production shape): bucket
+    self-join streams pairs with an exact 60-bit Hamming gate — no
+    per-bucket id arrays ever materialize."""
+    from image_search_indexing_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_t(spark, sf, "documents"), max_hamming=20)
+
+
 def _token_estimates(spark, sf):
     from image_search_indexing_spark.functions import text as TX
 
@@ -386,12 +395,16 @@ def _frontier_schedule(spark, sf):
 
 
 def _indexer_full(spark, sf):
-    from image_search_indexing_spark.plans.indexer import indexer_full
+    """FULL indexer over REAL payload bytes (F3/F9/P2): the synthetic
+    media table (sources/mediagen.py) attaches closed-form ASCII payloads,
+    so digests are sha2(payload, 256) over actual bytes, img_width/height
+    are header-PARSED from the bytes (operators/multimodal.parse_image_
+    dims), MIME is magic-sniffed, and the size gates drop tiny/huge/
+    unparseable images — all oracle-checked value-for-value. Captures with
+    no payload row keep the path digest (sentinel -1 dims)."""
+    from image_search_indexing_spark.plans.indexer import indexer_full_media
 
-    out = indexer_full(spark, sf)
-    # media-dependent fields are NULL on this corpus (no byte payloads /
-    # alt attributes in the driver testdata) — sentinel-fill them so both
-    # engines produce identical non-null dtypes on the Arrow compare path
+    out = indexer_full_media(spark, sf)
     return (
         out.withColumn("timestamps", _join_ts(F.col("timestamps")))
         .withColumn("img_alt", F.coalesce(F.col("img_alt"), F.lit("")))
@@ -402,15 +415,29 @@ def _indexer_full(spark, sf):
 
 
 def _indexer_compact(spark, sf):
-    from image_search_indexing_spark.plans.indexer import indexer_compact
+    """COMPACT indexer over REAL payload bytes: grouped by the SHA-256
+    byte digest, so identical payloads served from different hosts/SURTs
+    merge into one output row (A9 — the reference's DupDigestMergerJob
+    case) with metadata lists drawn from every merged SURT."""
+    from image_search_indexing_spark.plans.indexer import indexer_compact_media
 
-    out = indexer_compact(spark, sf)
+    out = indexer_compact_media(spark, sf)
     return (
         out.withColumn("all_timestamps", _join_ts(F.col("all_timestamps")))
         .withColumn("titles", F.array_join(F.col("titles"), "|"))
         .withColumn("alts", F.array_join(F.col("alts"), "|"))
         .withColumn("captions", F.array_join(F.col("captions"), "|"))
     )
+
+
+def _indexer_media_counters(spark, sf):
+    """Parse-stage IMAGE_COUNTERS over the byte path, computed from the
+    ACTUAL decode/sniff results (the oracle pins closed-form expected
+    values, checking the SVG dimension parser, magic sniff and P2 gates
+    end-to-end)."""
+    from image_search_indexing_spark.plans.indexer import media_parse_counters
+
+    return media_parse_counters(spark, sf)
 
 
 def _indexer_full_scalar(spark, sf):
@@ -452,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_compact": _indexer_compact,
         "indexer_full_scalar": _indexer_full_scalar,
         "indexer_counters": _indexer_counters,
+        "indexer_media_counters": _indexer_media_counters,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -463,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_buckets": _minhash_lsh_buckets,
         "simhash_buckets": _simhash_buckets,
         "simhash_buckets_md5": _simhash_buckets_md5,
+        "simhash_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "cosine_topk": _cosine_topk,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -652,6 +681,164 @@ SELECT ic.digest, ic.surt, ic.img_url, ic.all_timestamps, ic.total_captures,
        cp.n_page_records, cp.titles, cp.alts, cp.captions,
        cp.first_page_url, cp.first_page_ts
 FROM ic JOIN cp ON ic.digest = cp.digest
+"""
+
+# MEDIA (byte) mode: the F3/F9/P2 path over deterministic closed-form
+# payloads (sources/mediagen.py — payload bytes are a pure function of the
+# image URL, ASCII-only so DuckDB's sha256(VARCHAR) hashes the exact same
+# bytes Spark's sha2(binary, 256) does). Shares the refs/pieces/built CTEs
+# with the path-mode base; digest becomes sha256(payload) for surviving
+# payload-backed captures, the P2 gates drop tiny/huge/unparseable ones,
+# and mk (= img_id % 97) keys content coarser than the URL so different
+# SURTs merge under one byte digest — the reference's actual dedup case.
+_INDEXER_MEDIA_BASE = _INDEXER_BASE.split("), pages AS (")[0] + """), pages AS (
+  SELECT *,
+    '(' || tld || ',site' || hid || ',)/img/' || img_id || '.' || extn AS surt,
+    'http://www.site' || hid || '.' || tld || '/img/' || img_id || '.' || extn AS ref_url,
+    'http://www.site' || phid || '.' || ptld || '/page/' || did || '.html' AS page_url,
+    img_id || ' ' || extn AS img_title,
+    CASE WHEN coalesce(selfpiece, '') <> '' THEN selfpiece
+         WHEN coalesce(adjnext, '') <> '' THEN adjnext
+         ELSE trim(concat_ws(chr(10), coalesce(pvpiece, ''), coalesce(nxpiece, '')),
+                   ' ' || chr(10))
+    END AS caption,
+    img_id % 97 AS mk,
+    (img_id % 97) % 13 AS ms,
+    (img_id % 5) <> 4 AS mpresent,
+    CASE WHEN (img_id % 97) % 13 = 0 THEN 20
+         WHEN (img_id % 97) % 13 = 1 THEN 15001
+         ELSE 51 + ((img_id % 97) * 7) % 1200 END AS mw,
+    CASE WHEN (img_id % 97) % 13 = 0 THEN 20
+         WHEN (img_id % 97) % 13 = 1 THEN 15001
+         ELSE 51 + ((img_id % 97) * 13) % 900 END AS mh
+  FROM built
+), med AS (
+  SELECT *,
+    CASE WHEN ms = 2 THEN 'not-an-image: ' || mk
+         ELSE '<svg xmlns="http://www.w3.org/2000/svg" width="' || mw
+              || '" height="' || mh || '"><desc>k' || mk || '</desc></svg>'
+    END AS payload,
+    (mpresent AND ms NOT IN (0, 1, 2)) AS mok
+  FROM pages
+), keyed AS (
+  -- gate: payload-backed captures survive only when parsed dims pass P2;
+  -- pages of fully-gated SURTs drop with them (no image data to attach)
+  SELECT *,
+    CASE WHEN mok THEN sha256(payload)
+         ELSE md5('content:' || '/img/' || img_id || '.' || extn) END AS digest,
+    CASE WHEN mok THEN mw END AS img_w,
+    CASE WHEN mok THEN mh END AS img_h,
+    CASE WHEN mok THEN 'image/svg+xml' END AS img_mime_d,
+    img_title || chr(10) || '' || chr(10) || caption AS metadata_str
+  FROM med
+  WHERE (NOT mpresent) OR ms NOT IN (0, 1, 2)
+), imgs AS (
+  SELECT surt, digest, count(*) AS n_captures,
+         min(img_w) AS img_w, min(img_h) AS img_h, min(img_mime_d) AS img_mime_d,
+         array_to_string([strftime(t, '%Y%m%d%H%M%S')
+                          for t in (list(page_ts ORDER BY page_ts))[1:500]],
+                         ',') AS ts_str
+  FROM keyed GROUP BY surt, digest
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY surt, metadata_str
+                            ORDER BY page_ts, length(page_url), page_url) AS rn,
+         max(page_ts) OVER (PARTITION BY surt, metadata_str) AS page_ts_newest,
+         count(*) OVER (PARTITION BY surt, metadata_str) AS n_metadata_changes
+  FROM keyed
+)
+"""
+
+_INDEXER_MEDIA_FULL_SQL = _INDEXER_MEDIA_BASE + """
+SELECT r.surt, r.digest,
+       r.ref_url AS assigned_img_url,
+       r.img_title AS img_title_champion,
+       coalesce(i.img_w, -1)::INTEGER AS img_width,
+       coalesce(i.img_h, -1)::INTEGER AS img_height,
+       coalesce(i.img_mime_d, '') AS img_mime, '' AS img_alt,
+       i.ts_str AS timestamps, i.n_captures,
+       r.page_url,
+       'site' || r.phid || '.' || r.ptld AS page_host,
+       r.page_ts, r.page_ts_newest, r.caption, r.img_title,
+       'http www site' || r.hid || ' ' || r.tld || ' img ' || r.img_id
+           || ' ' || r.extn AS img_src_tokens,
+       'http www site' || r.phid || ' ' || r.ptld || ' page ' || r.did
+           || ' html' AS page_url_tokens,
+       r.kind AS tag_found_in,
+       r.n_metadata_changes
+FROM ranked r JOIN imgs i ON r.surt = i.surt AND r.digest = i.digest
+WHERE r.rn = 1
+"""
+
+# COMPACT media mode: digests now span SURTs, so list order follows the
+# Spark plan exactly — distinct values in FIRST-OCCURRENCE order of the
+# metadata_str-sorted records (min(metadata_str) per distinct value), not
+# plain value sort (titles differ per merged SURT, so caption order under
+# metadata_str != sorted captions).
+_INDEXER_MEDIA_COMPACT_SQL = _INDEXER_MEDIA_BASE + """
+, pr AS (SELECT * FROM ranked WHERE rn = 1),
+tl AS (
+  SELECT digest, array_to_string(list(img_title ORDER BY mmin), '|') AS titles
+  FROM (SELECT digest, img_title, min(metadata_str) AS mmin FROM pr
+        WHERE img_title IS NOT NULL AND img_title <> '' GROUP BY digest, img_title)
+  GROUP BY digest),
+cl AS (
+  SELECT digest, array_to_string(list(caption ORDER BY mmin), '|') AS captions
+  FROM (SELECT digest, caption, min(metadata_str) AS mmin FROM pr
+        WHERE caption IS NOT NULL AND caption <> '' GROUP BY digest, caption)
+  GROUP BY digest),
+cp AS (
+  SELECT digest, count(*) AS n_page_records,
+         arg_min(page_url, metadata_str) AS first_page_url,
+         arg_min(page_ts, metadata_str) AS first_page_ts
+  FROM pr GROUP BY digest),
+ic AS (
+  SELECT digest, min(surt) AS surt, arg_min(ref_url, surt) AS img_url,
+         count(*) AS total_captures,
+         array_to_string([strftime(t, '%Y%m%d%H%M%S')
+                          for t in (list(page_ts ORDER BY page_ts))[1:500]],
+                         ',') AS all_timestamps
+  FROM keyed GROUP BY digest)
+SELECT ic.digest, ic.surt, ic.img_url, ic.all_timestamps, ic.total_captures,
+       cp.n_page_records, coalesce(tl.titles, '') AS titles, '' AS alts,
+       coalesce(cl.captions, '') AS captions,
+       cp.first_page_url, cp.first_page_ts
+FROM ic JOIN cp ON ic.digest = cp.digest
+LEFT JOIN tl ON ic.digest = tl.digest
+LEFT JOIN cl ON ic.digest = cl.digest
+"""
+
+# Parse-stage IMAGE_COUNTERS over the byte path: the Spark side counts
+# from the ACTUAL decode/sniff results; these closed forms check the
+# decoder (SVG dimension parse, magic sniff, gates) end-to-end.
+_INDEXER_MEDIA_COUNTERS_SQL = """
+WITH refs AS (
+  SELECT d.doc_id AS did, s.i,
+         (d.doc_id*7 + s.i*13) % 500 AS img_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+  WHERE s.i < 1 + d.doc_id % 4
+), med AS (
+  SELECT (img_id % 97) % 13 AS ms, (img_id % 5) <> 4 AS mpresent FROM refs
+)
+SELECT counter, value FROM (
+  SELECT 'images_with_payload' AS counter,
+         count(*) FILTER (WHERE mpresent)::BIGINT AS value FROM med
+  UNION ALL SELECT 'images_decoded',
+         count(*) FILTER (WHERE mpresent AND ms <> 2)::BIGINT FROM med
+  UNION ALL SELECT 'images_too_small',
+         count(*) FILTER (WHERE mpresent AND ms = 0)::BIGINT FROM med
+  UNION ALL SELECT 'images_too_large',
+         count(*) FILTER (WHERE mpresent AND ms = 1)::BIGINT FROM med
+  UNION ALL SELECT 'images_mime_invalid',
+         count(*) FILTER (WHERE mpresent AND ms = 2)::BIGINT FROM med
+  UNION ALL SELECT 'images_mime_wrong',
+         count(*) FILTER (WHERE mpresent AND ms <> 2)::BIGINT FROM med
+  UNION ALL SELECT 'images_gate_passed',
+         count(*) FILTER (WHERE mpresent AND ms NOT IN (0, 1, 2))::BIGINT FROM med
+  UNION ALL SELECT 'captures_without_payload',
+         count(*) FILTER (WHERE NOT mpresent)::BIGINT FROM med
+) ORDER BY counter
 """
 
 # Job-level counters in long format. On this corpus captures == pages rows
@@ -866,6 +1053,37 @@ def _simhash_md5_sql(prefix_bits: int = 16, bits: int = 60) -> str:
     """
 
 
+def _simhash_pairs_sql(prefix_bits: int = 16, bits: int = 60, max_hamming: int = 20) -> str:
+    """Pair-emitting SimHash oracle: same 60-bit md5 construction as
+    ``_simhash_md5_sql``, bucket equi-join emitting (id_a < id_b) pairs
+    with the exact Hamming gate (``bit_count(xor)``) on both engines."""
+    h = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1) * {16 ** (15 - j)}"
+        for j in range(1, 16)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN coalesce(s{b}, 0) > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    toks = _TOKS.format(c="text")
+    return f"""
+        WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+        tt AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        th AS (SELECT doc_id, md5(t) AS hx FROM tt),
+        hb AS (SELECT doc_id, ({h})::BIGINT AS h FROM th),
+        bt AS (SELECT doc_id, {sums} FROM hb GROUP BY doc_id),
+        sh AS (SELECT d.doc_id, ({sim})::BIGINT AS sim
+               FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
+        b AS (SELECT doc_id, sim, sim >> {bits - prefix_bits} AS bucket FROM sh)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               bit_count(xor(a.sim, c.sim))::INTEGER AS hamming
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming}
+    """
+
+
 def _lang_quality_sql() -> str:
     """DuckDB oracle for lang_id + quality_score, stopword literals inlined
     from functions/text.py. Every float op mirrors the Spark expression
@@ -924,15 +1142,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "frontier_schedule": _FRONTIER_SQL,
         "indexer_full_scalar": _INDEXER_SCALAR_SQL,
-        "indexer_full": _INDEXER_FULL_SQL,
-        "indexer_compact": _INDEXER_COMPACT_SQL,
+        "indexer_full": _INDEXER_MEDIA_FULL_SQL,
+        "indexer_compact": _INDEXER_MEDIA_COMPACT_SQL,
         "indexer_counters": _INDEXER_COUNTERS_SQL,
+        "indexer_media_counters": _INDEXER_MEDIA_COUNTERS_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
         "near_dup_components": _near_dup_components_sql(),
         "text_dup_groups": _text_dup_groups_sql(),
         "dedup_champions": _dedup_champions_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "lang_quality": _lang_quality_sql(),
         "token_estimates": r"""
             SELECT doc_id,

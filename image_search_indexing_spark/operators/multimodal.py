@@ -3,18 +3,24 @@
 The reference's media handling is image-byte parsing and thumbnailing
 (``utils/ImageParse.java:89-193``: dimension checks, ≤200×200 resize,
 gif/svg skip; F9 MIME sniffing ``WARCInformationParser.java:124-138``).
-This container has no imaging/audio libraries, so the DECODE KERNELS ARE
-DETERMINISTIC STUBS — but the Spark-side plumbing is real and tested:
-binary columns travel as ``BinaryType``, metadata as typed structs, and
-every kernel is an Arrow-batched ``mapInPandas``/``pandas_udf`` with the
-exact batch shape a real decoder (PIL / torchaudio / pyav) would use —
-swap the stub body for the real library call and nothing else changes.
 
-Magic-byte MIME sniffing (F9) IS real — it needs no imaging library.
+What is REAL here (no imaging library needed):
+- magic-byte MIME sniffing (F9), including audio containers;
+- image DIMENSION extraction (``parse_image_dims``): PNG IHDR, GIF
+  logical-screen descriptor, BMP info header, JPEG SOF marker scan, and
+  SVG width/height attributes are all plain header arithmetic — the part
+  of ``ImageParse`` the size gates (P2) actually consume.
+
+What is STUBBED (this container has no PIL/torchaudio/pyav): full pixel
+decode, byte-level thumbnail resize, audio DSP, video frame decode. Those
+kernels are deterministic stand-ins behind the exact Arrow batch shape a
+real decoder would use — swap the body for the library call and nothing
+else changes.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -67,6 +73,85 @@ def sniff_mime_udf(data: pd.Series) -> pd.Series:
     return data.map(sniff_mime)
 
 
+def _jpeg_dims(data: bytes) -> tuple[int | None, int | None]:
+    """JPEG (width, height) via SOFn marker scan — header-only, no decode."""
+    sof = frozenset(
+        (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+    )
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if marker in sof:
+            if i + 9 <= n:
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return w, h
+            return None, None
+        if seglen < 2:
+            break
+        i += 2 + seglen
+    return None, None
+
+
+_SVG_W = re.compile(rb'\swidth="(\d+)(?:px)?"')
+_SVG_H = re.compile(rb'\sheight="(\d+)(?:px)?"')
+
+
+def parse_image_dims(data: bytes | None) -> tuple[int | None, int | None]:
+    """REAL dimension extraction from image headers (F10/P2 input) —
+    PNG IHDR (big-endian u32 at 16/20), GIF logical screen (little-endian
+    u16 at 6/8), BMP BITMAPINFOHEADER (signed LE i32 at 18/22, top-down
+    negatives folded), JPEG SOF scan, SVG width/height attributes. Plain
+    byte arithmetic, no imaging library — the part of ``ImageParse.java``
+    the size gates consume. ``(None, None)`` = unknown container or
+    truncated header; callers treat that as a parse failure (the
+    reference's ``ImageParse`` returning null → image skipped)."""
+    if data is None or len(data) < 10:
+        return None, None
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(data) >= 24 and data[12:16] == b"IHDR":
+                return (
+                    int.from_bytes(data[16:20], "big"),
+                    int.from_bytes(data[20:24], "big"),
+                )
+            return None, None
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"),
+            )
+        if data[:2] == b"BM" and len(data) >= 26:
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = int.from_bytes(data[22:26], "little", signed=True)
+            return abs(w), abs(h)
+        if data[:3] == b"\xff\xd8\xff":
+            return _jpeg_dims(data)
+        head = data[:4096]
+        if head[:5] in (b"<?xml", b"<svg ") or head.lstrip()[:4] == b"<svg":
+            tag_end = head.find(b">")
+            tag = head if tag_end < 0 else head[: tag_end + 1]
+            mw, mh = _SVG_W.search(tag), _SVG_H.search(tag)
+            if mw and mh:
+                return int(mw.group(1)), int(mh.group(1))
+            return None, None
+    except Exception:
+        return None, None
+    return None, None
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("width", T.IntegerType()),
@@ -80,36 +165,26 @@ DECODE_SCHEMA = T.StructType(
 def decode_image_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     """Attach (width, height, n_bytes, mime) per binary payload.
 
-    STUB decode: real deployments replace `_decode_batch`'s body with
-    PIL.Image.open over the byte buffer; here dimensions are derived
-    deterministically from the payload hash so tests exercise the full
-    plumbing (schema, nulls, Arrow batching, size gates) with stable
-    values.
+    MIME sniffing and dimension parsing are REAL (header arithmetic, see
+    ``parse_image_dims``); width/height are NULL when the container is
+    unknown or the header is malformed — downstream gates treat
+    payload-present-but-unparseable as a dropped image (``ImageParse``
+    null). A full pixel decode (PIL) would slot into the same batch loop
+    without changing the schema or the Arrow batching.
     """
 
     def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payload = pdf[binary_col]
-            n_bytes = payload.map(lambda b: len(b) if b is not None else 0)
-            # DETERMINISTIC FAKE (no imaging libs in this container): real
-            # impl -> `img = PIL.Image.open(io.BytesIO(b)); img.size`
-            h64 = payload.map(
-                lambda b: int.from_bytes(hashlib_md5(b)[:8], "big") if b is not None else 0
-            )
-            width = (h64 % 2000).astype("int32")
-            height = ((h64 // 2000) % 2000).astype("int32")
-            mime = payload.map(sniff_mime)
+            dims = [parse_image_dims(b) for b in payload]
             out = pdf.copy()
-            out["width"] = width
-            out["height"] = height
-            out["n_bytes"] = n_bytes.astype("int32")
-            out["mime_detected"] = mime
+            out["width"] = pd.array([d[0] for d in dims], dtype="Int32")
+            out["height"] = pd.array([d[1] for d in dims], dtype="Int32")
+            out["n_bytes"] = pd.array(
+                [len(b) if b is not None else 0 for b in payload], dtype="Int32"
+            )
+            out["mime_detected"] = payload.map(sniff_mime)
             yield out
-
-    import hashlib
-
-    def hashlib_md5(b: bytes) -> bytes:
-        return hashlib.md5(b).digest()
 
     schema = T.StructType(df.schema.fields + list(DECODE_SCHEMA.fields))
     return df.mapInPandas(_decode_batch, schema)

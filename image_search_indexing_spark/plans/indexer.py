@@ -67,11 +67,14 @@ def attach_media_meta(
     payload_col: str = "payload",
     observation=None,
 ) -> DataFrame:
-    """F3 + P2 + F9 over real bytes: SHA-256 content digest, decoded
+    """F3 + P2 + F9 over real bytes: SHA-256 content digest, header-parsed
     dimensions, magic-byte MIME and the reported-vs-detected mismatch flag
     (counter analog of ``ImageInformationExtractor.java:290-306``).
     Captures with no matching payload keep their path digest and pass the
-    gates (gates apply only to decoded images, as in the reference).
+    gates (gates apply only to images with bytes). Captures WITH a payload
+    that fails to parse (unknown container / malformed header) are DROPPED
+    — the reference's ``ImageParse.java`` returns null for unreadable
+    bytes and the image is skipped.
 
     When an ``Observation`` is supplied, the reference's per-image parse
     counters (``ImageIndexerWithDupsJob.IMAGE_COUNTERS``, lines 70-98) ride
@@ -134,10 +137,13 @@ def attach_media_meta(
                 )
             ).alias("images_mime_wrong"),
         )
+    # no payload (left-join miss → mime_detected NULL) passes untouched;
+    # payload present requires parsed dims within the P2 gates
     gated = joined.where(
-        F.col("width").isNull()
+        F.col("mime_detected").isNull()
         | (
-            (F.col("width") >= MM.MIN_WIDTH)
+            F.col("width").isNotNull()
+            & (F.col("width") >= MM.MIN_WIDTH)
             & (F.col("height") >= MM.MIN_HEIGHT)
             & (F.col("width").cast("long") * F.col("height") <= MM.MAX_AREA)
         )
@@ -393,6 +399,108 @@ def indexer_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     captures, pages = build_records(spark, sf_dir)
     full = full_from_records(captures, pages)
     return counters_from_records(captures, pages, full)
+
+
+# ---------------------------------------------------------------------------
+# media (byte) mode: the F3/F9/P2 real-bytes path over the synthetic corpus
+# ---------------------------------------------------------------------------
+
+
+def build_records_media(spark: SparkSession, sf_dir: str, observation=None):
+    """(captures, page_records) with the deterministic closed-form media
+    table attached (``sources/mediagen.py``): captures carry SHA-256
+    byte digests, parsed dimensions and sniffed MIME; the P2 gates drop
+    tiny/huge/unparseable payloads. The corpus construction guarantees
+    cross-SURT digest merges (content keyed coarser than the URL)."""
+    from ..sources.mediagen import synthetic_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = docspans.spans_from_documents(docs)
+    meta = docspans.docmeta_from_documents(docs)
+    refs = extract_refs(spans, meta).where(F.col("drop_reason").isNull())
+    media = synthetic_media(refs.select(F.col("ref_url").alias("url")))
+    return records_from_refs(refs, media, observation=observation)
+
+
+def indexer_full_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL output over real payload bytes. Page records whose SURT lost
+    every capture to the P2/parse gates have no image to attach (the
+    reference emits nothing for a page group without image data) and are
+    dropped; surviving rows carry non-NULL parsed ``img_width``/
+    ``img_height``/``img_mime`` wherever the capture had bytes."""
+    out = full_from_records(*build_records_media(spark, sf_dir))
+    return out.where(F.col("digest").isNotNull())
+
+
+def indexer_compact_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT output over real payload bytes: grouping is by the SHA-256
+    BYTE digest, so identical payloads served from different hosts/SURTs
+    merge into one row (the A9 digest-merge the reference's job 2 exists
+    for) with page metadata lists drawn from every merged SURT."""
+    return compact_from_records(*build_records_media(spark, sf_dir))
+
+
+def media_parse_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-stage image counters over the byte path, long format
+    ``(counter, value)`` — the IMAGE_COUNTERS family of
+    ``ImageIndexerWithDupsJob.java:70-98`` computed PRE-GATE from the
+    actual decode results (not the closed form), so the DuckDB oracle's
+    closed-form expectations check the decoder end-to-end."""
+    from ..operators import multimodal as MM
+    from ..sources.mediagen import synthetic_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = docspans.spans_from_documents(docs)
+    meta = docspans.docmeta_from_documents(docs)
+    refs = extract_refs(spans, meta).where(F.col("drop_reason").isNull())
+    media = synthetic_media(refs.select(F.col("ref_url").alias("url")))
+    dec = MM.decode_image_meta(
+        media.select(F.col("url").alias("img_url"), "payload")
+    ).select("img_url", "width", "height", "mime_detected")
+    ext = F.lower(F.regexp_extract("img_url", r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
+    reported = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _EXT_MIME.items() for x in kv]), ext
+    )
+    joined = (
+        refs.select(F.col("ref_url").alias("img_url"))
+        .join(dec, "img_url", "left")
+        .withColumn("mime_reported", reported)
+    )
+    has_payload = F.col("mime_detected").isNotNull()
+    decoded = F.col("width").isNotNull()
+    wrong = (
+        F.col("mime_detected").isNotNull()
+        & F.col("mime_reported").isNotNull()
+        & (F.col("mime_detected") != F.col("mime_reported"))
+        & (F.col("mime_detected") != "application/octet-stream")
+    )
+    gate_ok = (
+        decoded
+        & (F.col("width") >= MM.MIN_WIDTH)
+        & (F.col("height") >= MM.MIN_HEIGHT)
+        & (F.col("width").cast("long") * F.col("height") <= MM.MAX_AREA)
+    )
+    wide = joined.agg(
+        F.count(F.when(has_payload, 1)).alias("images_with_payload"),
+        F.count(F.when(decoded, 1)).alias("images_decoded"),
+        F.count(
+            F.when(decoded & ((F.col("width") < MM.MIN_WIDTH) | (F.col("height") < MM.MIN_HEIGHT)), 1)
+        ).alias("images_too_small"),
+        F.count(
+            F.when(decoded & (F.col("width").cast("long") * F.col("height") > MM.MAX_AREA), 1)
+        ).alias("images_too_large"),
+        F.count(F.when(F.col("mime_detected") == "application/octet-stream", 1)).alias(
+            "images_mime_invalid"
+        ),
+        F.count(F.when(wrong, 1)).alias("images_mime_wrong"),
+        F.count(F.when(gate_ok, 1)).alias("images_gate_passed"),
+        F.count(F.when(~has_payload, 1)).alias("captures_without_payload"),
+    )
+    return (
+        wide.unpivot([], wide.columns, "counter", "value")
+        .select("counter", F.col("value").cast("long").alias("value"))
+        .orderBy("counter")
+    )
 
 
 def to_jsonl(df: DataFrame, path: str, field_order: list[str] | None = None) -> None:

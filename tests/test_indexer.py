@@ -177,21 +177,21 @@ def test_alt_is_part_of_metadata_key(spark):
     assert compact[0]["alts"] == ["Alt A", "Alt B"]
 
 
-def _stub_dims(payload: bytes) -> tuple[int, int]:
-    """The deterministic fake decoder's dims (operators/multimodal.py)."""
-    import hashlib
-
-    h64 = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    return h64 % 2000, (h64 // 2000) % 2000
+def _gif(w: int, h: int, tag: bytes = b"x") -> bytes:
+    """A real GIF87a header (little-endian u16 logical screen dims)."""
+    return b"GIF87a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + tag
 
 
-def _find_payload(pred) -> bytes:
-    i = 0
-    while True:
-        b = f"payload-{i}".encode()
-        if pred(*_stub_dims(b)):
-            return b
-        i += 1
+def _png(w: int, h: int) -> bytes:
+    """A real PNG signature + IHDR chunk (big-endian u32 dims)."""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
 
 
 def test_media_digest_merges_across_surts(spark):
@@ -212,7 +212,7 @@ def test_media_digest_merges_across_surts(spark):
         ("d1", [_t("cap one", 0), _img(url_a, 1)]),
         ("d2", [_t("cap two", 0), _img(url_b, 1)]),
     ]
-    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    good = _gif(640, 480)
     media = spark.createDataFrame(
         [(url_a, bytearray(good)), (url_b, bytearray(good))], "url string, payload binary"
     )
@@ -225,9 +225,9 @@ def test_media_digest_merges_across_surts(spark):
     assert row["surt"] == "(org,hostb,)/y/two.jpg"  # lowest-surt champion
     assert sorted(row["captions"]) == ["cap one", "cap two"]
 
-    w, h = _stub_dims(good)
     full = full_from_records(captures, pages).collect()
-    assert all(r["img_width"] == w and r["img_height"] == h for r in full)
+    # dims parsed from the REAL GIF header bytes
+    assert all(r["img_width"] == 640 and r["img_height"] == 480 for r in full)
     # without media bytes the two URLs keep distinct path digests
     cap2, pg2 = records_from_refs(_refs(spark, rows))
     assert len(compact_from_records(cap2, pg2).collect()) == 2
@@ -240,19 +240,25 @@ def test_media_size_gates_and_mime_mismatch(spark):
 
     url = "http://www.hosta.pt/x/tiny.jpg"
     rows = [("d1", [_t("cap", 0), _img(url, 1)])]
-    tiny = _find_payload(lambda w, h: w < 51)
+    tiny = _gif(20, 20)
     media = spark.createDataFrame([(url, bytearray(tiny))], "url string, payload binary")
     captures, _ = records_from_refs(_refs(spark, rows), media)
     assert captures.count() == 0  # gated out
 
-    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    good = _gif(100, 80)
     media2 = spark.createDataFrame([(url, bytearray(good))], "url string, payload binary")
     cap2, _ = records_from_refs(_refs(spark, rows), media2)
     r = cap2.collect()[0]
-    # stub payloads carry no jpeg magic → octet-stream vs reported image/jpeg
-    assert r["mime_detected"] == "application/octet-stream"
+    # GIF magic at a .jpg URL → detected image/gif vs reported image/jpeg
+    assert r["mime_detected"] == "image/gif"
     assert r["mime_reported"] == "image/jpeg"
     assert r["mime_mismatch"] is True
+
+    # payload present but unparseable (no known container) → dropped, like
+    # ImageParse returning null for unreadable bytes
+    junk = spark.createDataFrame([(url, bytearray(b"junk-bytes"))], "url string, payload binary")
+    cap3, _ = records_from_refs(_refs(spark, rows), junk)
+    assert cap3.count() == 0
 
 
 def test_media_gate_counters_observation(spark):
@@ -265,34 +271,34 @@ def test_media_gate_counters_observation(spark):
     from image_search_indexing_spark.plans.indexer import records_from_refs
 
     url_small = "http://www.hosta.pt/x/tiny.jpg"
-    url_good = "http://www.hosta.pt/x/good.jpg"
+    url_good = "http://www.hosta.pt/x/good.gif"
     url_png = "http://www.hosta.pt/x/fake.jpg"  # png magic, .jpg name
+    url_junk = "http://www.hosta.pt/x/junk.jpg"  # no known magic
     rows = [
         ("d1", [_t("cap", 0), _img(url_small, 1)]),
         ("d2", [_t("cap", 0), _img(url_good, 1)]),
         ("d3", [_t("cap", 0), _img(url_png, 1)]),
+        ("d4", [_t("cap", 0), _img(url_junk, 1)]),
     ]
-    tiny = _find_payload(lambda w, h: w < 51)
-    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
-    # a payload with PNG magic whose stub dims pass the gates
-    png = b"\x89PNG\r\n\x1a\n" + good
-    w, h = _stub_dims(png)
-    assert w >= 51 and h >= 51  # fixture sanity: survives the gate
     media = spark.createDataFrame(
-        [(url_small, bytearray(tiny)), (url_good, bytearray(good)), (url_png, bytearray(png))],
+        [
+            (url_small, bytearray(_gif(20, 20))),
+            (url_good, bytearray(_gif(100, 80))),
+            (url_png, bytearray(_png(300, 200))),
+            (url_junk, bytearray(b"junk-bytes")),
+        ],
         "url string, payload binary",
     )
     obs = Observation()
     captures, _ = records_from_refs(_refs(spark, rows), media, observation=obs)
     n = captures.count()  # action → observation materializes
     got = obs.get
-    assert got["images_decoded"] == 3
+    assert got["images_decoded"] == 3  # junk has no parseable header
     assert got["images_too_small"] == 1
     assert got["images_too_large"] == 0
-    # tiny+good are stub payloads with no magic → invalid; png is wrong
-    assert got["images_mime_invalid"] == 2
-    assert got["images_mime_wrong"] == 1
-    assert n == 2  # tiny gated out
+    assert got["images_mime_invalid"] == 1  # junk: no magic → octet-stream
+    assert got["images_mime_wrong"] == 2  # png + tiny-gif bytes at .jpg URLs
+    assert n == 2  # good + png survive; tiny gated, junk unparseable
 
 
 def test_indexer_counters_long_format(spark):
@@ -314,7 +320,7 @@ def test_indexer_counters_long_format(spark):
         ("d2", [_t("cap two", 0), _img(url_b, 1)]),
         ("d3", [_t("cap three", 0), _img(url_c, 1)]),
     ]
-    good = _find_payload(lambda w, h: w >= 51 and h >= 51 and w * h <= 15000 * 15000)
+    good = _gif(640, 480)
     media = spark.createDataFrame(
         [(url_a, bytearray(good)), (url_b, bytearray(good))], "url string, payload binary"
     )

@@ -135,3 +135,37 @@ def test_bloom_and_cuckoo_numpy():
     assert not cf.contains(h1[:2000], h2[:2000]).any() or True  # fp-rate only
     rt = CuckooFilter.from_bytes(cf.to_bytes())
     assert (rt.table == cf.table).all()
+
+
+def test_parse_image_dims_real_headers():
+    """parse_image_dims is REAL header arithmetic (no imaging lib):
+    PNG IHDR, GIF logical screen, BMP info header (incl. top-down negative
+    height), JPEG SOF scan past other segments, SVG attrs; unknown or
+    truncated containers → (None, None) = parse failure."""
+    from image_search_indexing_spark.operators.multimodal import parse_image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (12345).to_bytes(4, "big") + (777).to_bytes(4, "big") + bytes(5)
+    )
+    assert parse_image_dims(png) == (12345, 777)
+    gif = b"GIF87a" + (51).to_bytes(2, "little") + (15001).to_bytes(2, "little")
+    assert parse_image_dims(gif) == (51, 15001)
+    bmp = b"BM" + bytes(16) + (640).to_bytes(4, "little") + (-480).to_bytes(
+        4, "little", signed=True
+    )
+    assert parse_image_dims(bmp) == (640, 480)  # top-down height folded
+    jpeg = (
+        b"\xff\xd8\xff\xe1" + (8).to_bytes(2, "big") + b"Exif\x00\x00"
+        + b"\xff\xdb" + (4).to_bytes(2, "big") + b"\x00\x00"
+        + b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + bytes(10)
+    )
+    assert parse_image_dims(jpeg) == (1920, 1080)
+    svg = b'<svg xmlns="http://www.w3.org/2000/svg" width="219" height="363"><desc>k</desc></svg>'
+    assert parse_image_dims(svg) == (219, 363)
+    # failure modes: unknown container, truncated header, dimensionless svg
+    assert parse_image_dims(b"junk-bytes-longer") == (None, None)
+    assert parse_image_dims(png[:20]) == (None, None)
+    assert parse_image_dims(b'<svg xmlns="x"><desc>none</desc></svg>') == (None, None)
+    assert parse_image_dims(None) == (None, None)

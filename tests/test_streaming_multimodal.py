@@ -58,11 +58,21 @@ def test_multimodal_decode_and_gates(spark):
         thumbnail_dims,
     )
 
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (240).to_bytes(2, "big") + (320).to_bytes(2, "big") + bytes(10)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (800).to_bytes(4, "big") + (600).to_bytes(4, "big") + bytes(5)
+    )
+    gif = b"GIF89a" + (64).to_bytes(2, "little") + (48).to_bytes(2, "little") + b"z" * 10
     payloads = [
-        ("a", b"\xff\xd8\xff" + b"x" * 100),  # jpeg
-        ("b", b"\x89PNG\r\n\x1a\n" + b"y" * 50),  # png
-        ("c", b"GIF89a" + b"z" * 10),  # gif
-        ("d", b"RIFFxxxxWEBP" + b"w" * 8),  # webp
+        ("a", jpeg),
+        ("b", png),
+        ("c", gif),
+        ("d", b"RIFFxxxxWEBP" + b"w" * 8),  # webp (dims not parsed)
         ("e", b"plainbytes"),  # unknown
     ]
     assert sniff_mime(payloads[0][1]) == "image/jpeg"
@@ -74,17 +84,20 @@ def test_multimodal_decode_and_gates(spark):
     rows = {r["media_id"]: r for r in meta.collect()}
     assert rows["a"]["mime_detected"] == "image/jpeg"
     assert rows["b"]["mime_detected"] == "image/png"
+    # REAL header-parsed dimensions
+    assert (rows["a"]["width"], rows["a"]["height"]) == (320, 240)
+    assert (rows["b"]["width"], rows["b"]["height"]) == (800, 600)
+    assert (rows["c"]["width"], rows["c"]["height"]) == (64, 48)
+    assert rows["d"]["width"] is None and rows["e"]["width"] is None
     assert all(r["n_bytes"] > 0 for r in rows.values())
-    # determinism: same payload → same fake dimensions
-    rows2 = {r["media_id"]: r for r in decode_image_meta(df).collect()}
-    for k in rows:
-        assert (rows[k]["width"], rows[k]["height"]) == (rows2[k]["width"], rows2[k]["height"])
 
     gated = size_gate(meta)
-    assert gated.count() <= len(payloads)
+    assert {r["media_id"] for r in gated.collect()} == {"a", "b"}  # gif 64x48 < 51 high
 
     tw, th = thumbnail_dims(F.col("width"), F.col("height"))
-    dims = meta.select("media_id", tw.alias("tw"), th.alias("th")).collect()
+    dims = meta.where(F.col("width").isNotNull()).select(
+        "media_id", tw.alias("tw"), th.alias("th")
+    ).collect()
     assert all(1 <= r["tw"] <= 200 and 1 <= r["th"] <= 200 for r in dims)
 
     frames = sample_frames(df)
