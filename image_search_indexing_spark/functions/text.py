@@ -68,6 +68,100 @@ def fix_mojibake_udf():
     return F2.pandas_udf(_fix, T2.StringType())
 
 
+_BOMS = [
+    (b"\x00\x00\xfe\xff", "UTF-32BE"),
+    (b"\xff\xfe\x00\x00", "UTF-32LE"),
+    (b"\xef\xbb\xbf", "UTF-8"),
+    (b"\xfe\xff", "UTF-16BE"),
+    (b"\xff\xfe", "UTF-16LE"),
+]
+
+
+def detect_charset(data: bytes | None, sample: int = 8192) -> str | None:
+    """F7: charset detection (``utils/ImageSearchIndexingUtil.java:247-287``
+    uses juniversalchardet; this is the standard public detection cascade,
+    no library needed):
+
+    1. BOM sniff (UTF-8/16/32, both endiannesses);
+    2. pure 7-bit → US-ASCII;
+    3. strict UTF-8 validation of the head → UTF-8;
+    4. BOM-less UTF-16 heuristic: ≥30% NUL bytes concentrated on even or
+       odd offsets (Latin text encoded 2-byte) → UTF-16BE/LE;
+    5. else single-byte fallback: any byte in the 0x80–0x9F C1 range (used
+       for printables by Windows codepages, control-only in Latin-1) →
+       windows-1252, otherwise ISO-8859-1.
+    """
+    if data is None:
+        return None
+    for bom, name in _BOMS:
+        if data.startswith(bom):
+            return name
+    head = data[:sample]
+    if not head:
+        return "US-ASCII"
+    if max(head) < 0x80:
+        return "US-ASCII"
+    try:
+        # avoid judging a multibyte sequence cut at the sample boundary
+        head[: sample - 4].decode("utf-8", errors="strict")
+        return "UTF-8"
+    except UnicodeDecodeError:
+        pass
+    n = len(head)
+    if n >= 8:
+        even = head[0::2].count(0)
+        odd = head[1::2].count(0)
+        if even > 0.3 * (n / 2) and odd < 0.05 * (n / 2):
+            return "UTF-16BE"
+        if odd > 0.3 * (n / 2) and even < 0.05 * (n / 2):
+            return "UTF-16LE"
+    if any(0x80 <= b <= 0x9F for b in head):
+        return "windows-1252"
+    return "ISO-8859-1"
+
+
+_PY_CODEC = {
+    "UTF-8": "utf-8", "US-ASCII": "ascii", "ISO-8859-1": "latin-1",
+    "windows-1252": "cp1252", "UTF-16BE": "utf-16-be", "UTF-16LE": "utf-16-le",
+    "UTF-32BE": "utf-32-be", "UTF-32LE": "utf-32-le",
+}
+
+
+def decode_detected(data: bytes | None) -> str | None:
+    """Decode raw bytes with the detected charset (BOM stripped), replacing
+    undecodable sequences — the reference's read-record-to-String step."""
+    if data is None:
+        return None
+    cs = detect_charset(data)
+    for bom, name in _BOMS:
+        if name == cs and data.startswith(bom):
+            data = data[len(bom):]
+            break
+    return data.decode(_PY_CODEC.get(cs, "latin-1"), errors="replace")
+
+
+def detect_charset_udf():
+    """Arrow-vectorized charset detection over a binary column."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    def _det(s):  # no type hints: resolved in this scope (see fix_mojibake_udf)
+        return s.map(detect_charset)
+
+    return F2.pandas_udf(_det, T2.StringType())
+
+
+def decode_detected_udf():
+    """Arrow-vectorized detect-then-decode (bytes → string) UDF."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    def _dec(s):
+        return s.map(decode_detected)
+
+    return F2.pandas_udf(_dec, T2.StringType())
+
+
 def java_trim(text: Column) -> Column:
     """Java ``String.trim()`` semantics: strip leading/trailing chars <= U+0020."""
     return F.regexp_replace(text, r"^[\x00-\x20]+|[\x00-\x20]+$", "")

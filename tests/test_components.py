@@ -112,3 +112,41 @@ def test_text_dup_groups_shape(spark):
     assert all(g == min(members) for g, members in by_group.items())
     multi = [m for m in by_group.values() if len(m) > 1]
     assert multi  # corpus has near-dups at threshold 0.5
+
+
+def test_simhash_pairs_equal_bucket_pairs(spark):
+    """Pair-emitting SimHash == bucket-listing SimHash pair-wise (same
+    60-bit md5 construction, no per-bucket arrays); the hamming gate
+    filters monotonically."""
+    from itertools import combinations
+
+    from image_search_indexing_spark.operators.dedup import (
+        simhash_buckets_md5,
+        simhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ungated = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs(docs, max_hamming=None).collect()
+    }
+    want = set()
+    for r in simhash_buckets_md5(docs).collect():
+        want |= set(combinations(sorted(r["doc_ids"]), 2))
+    assert ungated == want and len(ungated) > 0
+
+    gated = simhash_candidate_pairs(docs, max_hamming=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in gated} <= ungated
+    assert all(r["hamming"] <= 10 for r in gated)
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """String node ids would cast to NULL and collapse components; the
+    operator must refuse them loudly."""
+    import pytest
+
+    from image_search_indexing_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(pairs)

@@ -48,3 +48,40 @@ def test_fix_mojibake(spark):
     assert out[0] == "coração partido"
     assert out[1] == "já limpo"  # untouched
     assert out[2] is None
+
+
+def test_charset_detection_and_decode(spark):
+    """F7: the charset-detection cascade (BOM → ASCII → strict UTF-8 →
+    BOM-less UTF-16 NUL heuristic → C1-range windows-1252 vs ISO-8859-1)
+    and detect-then-decode roundtrips on mixed-encoding fixtures
+    (reference: juniversalchardet in ImageSearchIndexingUtil.java:247-287)."""
+    from image_search_indexing_spark.functions.text import (
+        decode_detected,
+        decode_detected_udf,
+        detect_charset,
+    )
+
+    s = "Olá, señor café"
+    cases = [
+        (b"plain ascii text", "US-ASCII", "plain ascii text"),
+        (s.encode("utf-8"), "UTF-8", s),
+        (b"\xef\xbb\xbf" + s.encode("utf-8"), "UTF-8", s),
+        (s.encode("utf-16"), "UTF-16LE", s),  # BOM'd
+        ((s * 4).encode("utf-16-be"), "UTF-16BE", s * 4),  # BOM-less heuristic
+        (s.encode("latin-1"), "ISO-8859-1", s),
+        ("café “quoted”".encode("cp1252"), "windows-1252", "café “quoted”"),
+    ]
+    for raw, want_cs, want_text in cases:
+        assert detect_charset(raw) == want_cs, raw[:20]
+        assert decode_detected(raw) == want_text, want_cs
+    assert detect_charset(None) is None and decode_detected(None) is None
+
+    df = spark.createDataFrame(
+        [(i, bytearray(raw)) for i, (raw, _, _) in enumerate(cases)],
+        "i int, payload binary",
+    )
+    from pyspark.sql import functions as F
+
+    out = {r["i"]: r["txt"] for r in df.select(
+        "i", decode_detected_udf()(F.col("payload")).alias("txt")).collect()}
+    assert out == {i: want for i, (_, _, want) in enumerate(cases)}

@@ -185,13 +185,18 @@ def test_ivf_topk_degenerates_to_exact_and_recalls(spark):
     }
     assert full_probe == exact  # nprobe == n_centroids ⇒ exhaustive
 
-    approx = {
-        (r["query_id"], r["neighbor_id"])
-        for r in ivf_topk(q, c, dim=64, k=5, n_centroids=8, nprobe=3).collect()
-    }
+    # recall@5 floors across coarse-quantizer settings (training is
+    # deterministic, so these are fixed values with a little slack:
+    # measured 0.7125 / 0.8 / 0.6875 on this corpus)
     exact_pairs = {(a, b) for a, b, _ in exact}
-    recall = len(approx & exact_pairs) / len(exact_pairs)
-    assert recall >= 0.5, recall
+    floors = {(8, 3): 0.70, (16, 8): 0.75, (4, 2): 0.65}
+    for (nc, npr), floor in floors.items():
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(q, c, dim=64, k=5, n_centroids=nc, nprobe=npr).collect()
+        }
+        recall = len(approx & exact_pairs) / len(exact_pairs)
+        assert recall >= floor, (nc, npr, recall)
 
 
 def test_ann_shuffle_join_matches_broadcast(spark):
