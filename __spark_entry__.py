@@ -464,6 +464,29 @@ def _indexer_full_scalar(spark, sf):
     )
 
 
+def _caption_guard(spark, sf):
+    """X5 caption-budget guard (ImageInformationExtractor.java:501-520 —
+    malformedPageForCaptions): once prior media spans of a page have
+    produced more than ``budget`` caption chars, every later media span
+    on that page gets the reference's empty-string caption and a
+    truncated mark. Oracle-checked value-for-value with the same running
+    window in DuckDB (budget 40 chars so the 2-4-media-span synthetic
+    pages exercise both sides of the cutoff)."""
+    from image_search_indexing_spark.frontier import docspans
+    from image_search_indexing_spark.frontier.extract import extract_refs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    combined = docspans.interleaved_from_documents(docs)
+    refs = extract_refs(combined, None, features="full", caption_page_budget=40)
+    return refs.where(F.col("drop_reason").isNull()).select(
+        "doc_id",
+        "span_idx",
+        "ref_url",
+        "caption",
+        F.col("caption_truncated").cast("int").alias("caption_truncated"),
+    )
+
+
 def _indexer_counters(spark, sf):
     """Job-level counter parity (DupDigestMergerJob COUNTERS + job-1
     REDUCE_COUNTERS) as an oracle-checked long-format query."""
@@ -480,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_full_scalar": _indexer_full_scalar,
         "indexer_counters": _indexer_counters,
         "indexer_media_counters": _indexer_media_counters,
+        "caption_guard": _caption_guard,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -617,6 +641,53 @@ WITH refs AS (
          count(*) OVER (PARTITION BY surt, metadata_str) AS n_metadata_changes
   FROM keyed
 )
+"""
+
+# X5 caption guard: same span synthesis as _INDEXER_BASE, plus the running
+# prior-caption-length window (budget 40) that mirrors extract_refs'
+# caption_page_budget — Spark and DuckDB blank exactly the same captions.
+_CAPTION_GUARD_SQL = """
+WITH refs AS (
+  SELECT d.doc_id AS did, d.text, s.i
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+  WHERE s.i < 1 + d.doc_id % 4
+), pieces AS (
+  SELECT did, i AS j, trim(substr(text, i*37 + 1, 30)) AS piece FROM refs
+), built AS (
+  SELECT r.did, r.i,
+         (r.did*7 + r.i*13) % 500 AS img_id,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j = r.i) AS selfpiece,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j = r.i + 1) AS adjnext,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j <= r.i AND p.piece <> ''
+          ORDER BY p.j DESC LIMIT 1) AS pvpiece,
+         (SELECT p.piece FROM pieces p WHERE p.did = r.did AND p.j > r.i AND p.piece <> ''
+          ORDER BY p.j ASC LIMIT 1) AS nxpiece
+  FROM refs r
+), capt AS (
+  SELECT did, i, img_id,
+    CASE WHEN coalesce(selfpiece, '') <> '' THEN selfpiece
+         WHEN coalesce(adjnext, '') <> '' THEN adjnext
+         ELSE trim(concat_ws(chr(10), coalesce(pvpiece, ''), coalesce(nxpiece, '')),
+                   ' ' || chr(10))
+    END AS caption
+  FROM built
+), guarded AS (
+  SELECT *,
+    coalesce(sum(length(caption)) OVER (PARTITION BY did ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 40 AS trunc
+  FROM capt
+)
+SELECT 'doc-' || lpad(did::VARCHAR, 9, '0') AS doc_id,
+       CAST(2*i + 1 AS INT) AS span_idx,
+       'http://www.site' || (img_id % 40)::VARCHAR ||
+         (CASE WHEN (img_id % 40) % 3 = 0 THEN '.pt'
+               WHEN (img_id % 40) % 3 = 1 THEN '.com' ELSE '.org' END) ||
+         '/img/' || img_id::VARCHAR ||
+         (CASE WHEN img_id % 2 = 0 THEN '.png' ELSE '.jpg' END) AS ref_url,
+       CASE WHEN trunc THEN '' ELSE caption END AS caption,
+       CASE WHEN trunc THEN 1 ELSE 0 END AS caption_truncated
+FROM guarded
 """
 
 _INDEXER_SCALAR_SQL = _INDEXER_BASE + """
@@ -1146,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "indexer_compact": _INDEXER_MEDIA_COMPACT_SQL,
         "indexer_counters": _INDEXER_COUNTERS_SQL,
         "indexer_media_counters": _INDEXER_MEDIA_COUNTERS_SQL,
+        "caption_guard": _CAPTION_GUARD_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
         "near_dup_components": _near_dup_components_sql(),

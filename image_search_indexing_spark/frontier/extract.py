@@ -15,6 +15,13 @@ model ``spans: array<struct<kind,text,media_ref,offset>>``:
   ties toward the earlier span); otherwise the nearest non-empty text on
   both sides joined by ``'\\n'`` (sibling-fallback analog, ``:758-788``),
   then the 250-char head+tail trim (``:779-794``).
+- per-page caption budget (X5 guard, ``:501-520``): the reference abandons
+  caption extraction for the REMAINDER of a page once it OOMs or exceeds
+  ``EXTRACT_CAPTION_TIMEOUT_SECS`` (``malformedPageForCaptions``); the
+  deterministic Spark analog is a running caption-length budget per page —
+  once prior media spans' captions total more than the budget, every later
+  media span on that page gets the reference's empty-string caption and a
+  ``caption_truncated`` mark (the counter analog of the skip).
 
 Everything is built-in Column expressions — single scan, no UDFs, no
 shuffle except the per-doc window sort (partition key ``doc_id``), which at
@@ -143,6 +150,7 @@ def extract_refs(
     spans_cap: int = MAX_IMAGE_IN_HTML,
     max_url_length: int = MAX_URL_LENGTH,
     features: str = "full",
+    caption_page_budget: int | None = None,
 ) -> DataFrame:
     """Media-ref rows with canonical URL, SURT, hash, host, caption, tokens.
 
@@ -155,6 +163,16 @@ def extract_refs(
     neighborhoods, URL/filename tokens) that only the indexer output needs —
     the frontier loop then runs without the per-doc caption windows and the
     tokenization regexes, which dominate the scan otherwise.
+
+    ``caption_page_budget`` (full mode only): deterministic analog of the
+    reference's per-page caption guard (``ImageInformationExtractor.java:
+    501-520`` — after an OOM or >EXTRACT_CAPTION_TIMEOUT_SECS of caption
+    work, ``malformedPageForCaptions`` blanks every later caption on the
+    page). Here the "work" proxy is the running total of caption characters
+    already produced for PRIOR media spans of the page, in span order: once
+    that exceeds the budget, later media spans get caption ``''`` and
+    ``caption_truncated = true``. ``None`` (default) disables the guard —
+    the reference's budget is wall-clock/heap, which fixtures never hit.
     """
     if features == "frontier":
         spans = _explode_spans_nocaption(docs, meta, spans_cap)
@@ -215,9 +233,26 @@ def extract_refs(
     # the reference's absent-attribute behavior (PageImageData.java:397-399
     # keys page records on title+ALT+caption)
     alt_trim = TX.java_trim(F.coalesce(F.col("text"), F.lit("")))
+    out = out.withColumn("caption", _caption())
+    guard_cols: list[str] = []
+    if caption_page_budget is not None:
+        # X5 caption guard: prior media spans' caption chars, page order.
+        # Same partition key as the neighbor windows → one sort, no extra
+        # shuffle; media-only cost so text spans never charge the budget.
+        w_budget = (
+            Window.partitionBy("doc_id")
+            .orderBy("span_idx")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cost = F.when(is_media, F.coalesce(F.length("caption"), F.lit(0))).otherwise(F.lit(0))
+        prior = F.coalesce(F.sum(cost).over(w_budget), F.lit(0))
+        truncated = is_media & (prior > F.lit(caption_page_budget))
+        out = out.withColumn("caption_truncated", truncated).withColumn(
+            "caption", F.when(truncated, F.lit("")).otherwise(F.col("caption"))
+        )
+        guard_cols = ["caption_truncated"]
     out = (
-        out.withColumn("caption", _caption())
-        .withColumn("img_alt", F.when(alt_trim != "", alt_trim))
+        out.withColumn("img_alt", F.when(alt_trim != "", alt_trim))
         .withColumn("page_surt", U.surt(F.col("base_url")))
         .withColumn("page_host", U.url_host(F.col("base_url")))
         .withColumn("img_src_tokens", U.url_tokens(F.col("ref_url")))
@@ -233,6 +268,7 @@ def extract_refs(
         "img_src_tokens",
         "img_filename_tokens",
         "page_url_tokens",
+        *guard_cols,
         "drop_reason",
     )
 

@@ -95,6 +95,53 @@ def test_caption_nearest_wins(spark):
     assert out["d1"]["caption"] == "far before\nfar after"
 
 
+def test_caption_page_budget_guard(spark):
+    """X5 caption guard (ImageInformationExtractor.java:501-520): once the
+    page's PRIOR media spans have produced more caption chars than the
+    budget, later media spans get the reference's empty caption (the
+    malformedPageForCaptions skip) — earlier spans are untouched, text
+    spans never charge the budget, and the guard is off by default."""
+    rows = [
+        (
+            "d1",
+            [
+                _t("aaaaaaaaaa", 0),       # 10 chars → caption of img#1
+                _img("/m/1.jpg", 1),        # prior cost 0  → kept
+                _t("bbbbbbbbbbbb", 2),     # 12 chars → caption of img#2
+                _img("/m/2.jpg", 3),        # prior cost 10 → kept (≤ 15)
+                _img("/m/3.jpg", 5),        # prior cost 22 → BLANKED (> 15)
+            ],
+        ),
+        # under budget throughout: nothing blanked
+        ("d2", [_t("tiny", 0), _img("/m/4.jpg", 1), _img("/m/5.jpg", 3)]),
+    ]
+    docs = spark.createDataFrame(rows, SPANS_SCHEMA)
+    meta = spark.createDataFrame(
+        [(r[0], "http://www.iol.pt/multimedia/page.html", "20160701120000") for r in rows],
+        META_SCHEMA,
+    )
+    refs = extract_refs(docs, meta, caption_page_budget=15).where(
+        F.col("drop_reason").isNull()
+    )
+    out = {(r["doc_id"], r["ref_url"].rsplit("/", 1)[-1]): r for r in refs.collect()}
+    assert out[("d1", "1.jpg")]["caption"] == "aaaaaaaaaa"
+    assert not out[("d1", "1.jpg")]["caption_truncated"]
+    assert out[("d1", "2.jpg")]["caption"] == "bbbbbbbbbbbb"
+    assert not out[("d1", "2.jpg")]["caption_truncated"]
+    assert out[("d1", "3.jpg")]["caption"] == ""
+    assert out[("d1", "3.jpg")]["caption_truncated"]
+    # d2: cumulative media caption cost stays ≤ 15 → untouched
+    assert out[("d2", "4.jpg")]["caption"] == "tiny"
+    assert out[("d2", "5.jpg")]["caption"] == "tiny"
+    assert not any(r["caption_truncated"] for k, r in out.items() if k[0] == "d2")
+    # default (no budget): no guard column, captions intact
+    plain = extract_refs(docs, meta).where(F.col("drop_reason").isNull())
+    assert "caption_truncated" not in plain.columns
+    assert {r["caption"] for r in plain.collect() if r["doc_id"] == "d1"} == {
+        "aaaaaaaaaa", "bbbbbbbbbbbb",
+    }
+
+
 def test_indexer_full_and_compact(spark):
     from image_search_indexing_spark.plans.indexer import indexer_compact, indexer_full
 
