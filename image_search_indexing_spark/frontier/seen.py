@@ -358,6 +358,15 @@ def filter_new_urls(
     membership join and never flows through a Python kernel; an earlier
     shape probed the whole seen table through the cuckoo cogroup —
     O(seen) Arrow bytes per round once any tombstone existed.
+
+    Deliberate non-optimization: the cuckoo cogroup consumes the flagged
+    maybe slice WITH its payload columns (unlike the Bloom probe above,
+    which probes a key projection and joins the verdict back). Projecting
+    here too would reference ``flagged`` twice in one lazy plan, and
+    Catalyst re-executes the shared subtree — a fourth Python cogroup
+    re-running the Bloom probe over ALL candidates (measured in the plan),
+    which costs far more than carrying the small maybe slice's strings
+    through one Arrow hop.
     """
     if seen is None:
         return candidates
