@@ -169,3 +169,158 @@ def test_parse_image_dims_real_headers():
     assert parse_image_dims(png[:20]) == (None, None)
     assert parse_image_dims(b'<svg xmlns="x"><desc>none</desc></svg>') == (None, None)
     assert parse_image_dims(None) == (None, None)
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + typ + body
+        + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _hand_png(arr, ctype, filters, pal=None):
+    """Build a PNG with chosen per-row scanline filters by applying the
+    filter transform FORWARD (decode must invert it exactly)."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * nch).astype(np.int32)
+    bpp = nch
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if pal is not None:
+        out += _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_and_filters():
+    """decode_png is a REAL decoder: own-encoder round-trip is bit-exact,
+    and every scanline filter (sub/up/average/Paeth) plus the gray /
+    palette / RGBA color types invert correctly."""
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_png, encode_png, parse_image_dims, sniff_mime,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    data = encode_png(rgb)
+    assert sniff_mime(data) == "image/png"
+    assert parse_image_dims(data) == (31, 23)
+    assert np.array_equal(decode_png(data), rgb)
+
+    # every filter type on an RGB image
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        hand = _hand_png(rgb, 2, filters)
+        assert np.array_equal(decode_png(hand), rgb), filters
+
+    gray = rng.integers(0, 256, (9, 14), dtype=np.uint8)
+    got = decode_png(_hand_png(gray, 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 11), dtype=np.uint8)
+    got = decode_png(_hand_png(idx, 3, [0, 2], pal=pal))
+    assert np.array_equal(got, pal[idx])
+
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    got = decode_png(_hand_png(rgba, 6, [4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    assert decode_png(b"junk") is None
+    assert decode_png(data[:40]) is None
+    assert decode_png(None) is None
+
+
+def test_bmp_decode_real():
+    """decode_bmp: 24-bit bottom-up rows (4-byte padded, BGR) and 32-bit
+    top-down both land as (h, w, 3) RGB; RLE/16-bit → None."""
+    from image_search_indexing_spark.operators.multimodal import decode_bmp
+
+    rgb = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)  # h=2 w=3
+    row_sz = (3 * 3 + 3) // 4 * 4  # 12
+    px = bytearray()
+    for y in (1, 0):  # bottom-up storage
+        row = bytearray()
+        for x in range(3):
+            r, g, b = rgb[y, x]
+            row += bytes([b, g, r])
+        row += bytes(row_sz - len(row))
+        px += row
+    header = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + (3).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + bytes(24)
+    )
+    assert np.array_equal(decode_bmp(header + bytes(px)), rgb)
+
+    # 32-bit top-down (negative height), BGRA
+    px32 = bytearray()
+    for y in range(2):
+        for x in range(3):
+            r, g, b = rgb[y, x]
+            px32 += bytes([b, g, r, 255])
+    header32 = (
+        b"BM" + (54 + len(px32)).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + (3).to_bytes(4, "little")
+        + (-2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little") + bytes(24)
+    )
+    assert np.array_equal(decode_bmp(header32 + bytes(px32)), rgb)
+
+    bad16 = bytearray(header)
+    bad16[28:30] = (16).to_bytes(2, "little")
+    assert decode_bmp(bytes(bad16) + bytes(px)) is None
+    assert decode_bmp(b"BMshort") is None
+
+
+def test_thumbnail_bytes_real_resize():
+    """F10 byte path: a 300x120 PNG thumbnails to a REAL 200x80 PNG whose
+    pixels come from centered nearest-neighbor sampling; undecodable
+    containers (JPEG) return the declared (None, None, None)."""
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_png, resize_nearest, thumbnail_box, thumbnail_bytes,
+    )
+
+    assert thumbnail_box(400, 100) == (200, 50)
+    assert thumbnail_box(100, 50) == (100, 50)  # never upscale
+    assert thumbnail_box(15000, 15000) == (200, 200)
+    assert thumbnail_box(10000, 10) == (200, 1)  # 1px floor
+
+    from image_search_indexing_spark.operators.multimodal import encode_png
+
+    y, x = np.mgrid[0:120, 0:300]
+    img = np.stack([(x % 256), (y % 256), ((x + y) % 256)], axis=2).astype(np.uint8)
+    thumb, tw, th = thumbnail_bytes(encode_png(img))
+    assert (tw, th) == (200, 80)
+    arr = decode_png(thumb)
+    assert arr.shape == (80, 200, 3)
+    assert np.array_equal(arr, resize_nearest(img, 200, 80))
+
+    assert thumbnail_bytes(b"\xff\xd8\xff\xe0 fake jpeg") == (None, None, None)

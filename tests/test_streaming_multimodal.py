@@ -106,6 +106,39 @@ def test_multimodal_decode_and_gates(spark):
     assert all(r["frame"] is not None and r["ts_ms"] == r["frame_idx"] * 1000 for r in frows)
 
 
+def test_attach_thumbnails_real_bytes(spark):
+    """F10 byte-level thumbnail over the Arrow batch path: PNG/BMP
+    payloads get REAL resampled PNG thumbnails (decoded back and checked
+    pixel-for-pixel), undecodable containers get NULLs."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        attach_thumbnails,
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    y, x = np.mgrid[0:90, 0:400]
+    big = np.stack([x % 256, y % 256, (x * 3 + y) % 256], axis=2).astype(np.uint8)
+    small = np.full((60, 60, 3), 17, np.uint8)
+    rows = [
+        ("big", bytearray(encode_png(big))),
+        ("small", bytearray(encode_png(small))),
+        ("jpeg", bytearray(b"\xff\xd8\xff\xe0 not decodable here")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in attach_thumbnails(df).collect()}
+
+    assert (out["big"]["thumb_width"], out["big"]["thumb_height"]) == (200, 45)
+    got = decode_png(bytes(out["big"]["thumb"]))
+    assert np.array_equal(got, resize_nearest(big, 200, 45))
+    # under the box: bytes re-encoded at original size, never upscaled
+    assert (out["small"]["thumb_width"], out["small"]["thumb_height"]) == (60, 60)
+    assert np.array_equal(decode_png(bytes(out["small"]["thumb"])), small)
+    assert out["jpeg"]["thumb"] is None and out["jpeg"]["thumb_width"] is None
+
+
 def test_simhash_and_ann(spark):
     """rows-only operators still deserve unit checks: simhash similarity
     ordering + ANN vs brute-force recall on a small set."""
