@@ -16,15 +16,18 @@ What is REAL as well (stdlib-only, no imaging library):
   scanline filters unfiltered, gray/RGB/palette/alpha color types) and
   PNG encode (``encode_png``: filter-0 scanlines + CRC'd chunks);
 - uncompressed 24/32-bit BMP pixel decode (``decode_bmp``);
+- baseline JPEG pixel decode (``decode_jpeg``: ITU-T T.81 sequential
+  DCT — canonical Huffman entropy decode, restart markers, dequant +
+  inverse zigzag, orthonormal IDCT, chroma upsampling, YCbCr→RGB);
 - byte-level thumbnail resize (``thumbnail_bytes``: decode → centered
   nearest-neighbor numpy resample to the ≤200×200 ratio box → PNG) —
   the actual ``ImageParse.java:89-193`` behavior for these containers.
 
-What is STUBBED (this container has no PIL/torchaudio/pyav): JPEG/GIF/
-WEBP pixel decode (entropy-coded; header dims still real), audio DSP,
-video frame decode. Those kernels are deterministic stand-ins behind the
-exact Arrow batch shape a real decoder would use — swap the body for the
-library call and nothing else changes.
+What is STUBBED (this container has no PIL/torchaudio/pyav): progressive
+JPEG, GIF/WEBP pixel decode (header dims still real; the reference skips
+gif thumbnails anyway), audio DSP, video frame decode. Those kernels are
+deterministic stand-ins behind the exact Arrow batch shape a real decoder
+would use — swap the body for the library call and nothing else changes.
 """
 
 from __future__ import annotations
@@ -306,17 +309,256 @@ def decode_bmp(data: bytes | None) -> np.ndarray | None:
         return None
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT) ------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal DCT-II basis: spatial = M.T @ coeffs @ M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 byte unstuffing and RSTn
+    detection (returns marker via ``restart`` and realigns)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: stop fill
+                    return self.nbits > 0
+                else:  # EOI / next segment
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+        return True
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:  # truncated stream: pad with zeros
+                self.buf <<= 8
+                self.nbits += 8
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self) -> None:
+        """Skip to just past the next RSTn marker, dropping partial bits."""
+        self.buf, self.nbits = 0, 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bits(1)
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    return v - ((1 << n) - 1) if n and v < (1 << (n - 1)) else v
+
+
+def decode_jpeg(data: bytes | None) -> np.ndarray | None:
+    """REAL baseline JPEG decode (ITU-T T.81 sequential DCT, the format
+    ``ImageParse.java`` overwhelmingly sees): segment parse (DQT/DHT/
+    SOF0-1/DRI/SOS), canonical Huffman entropy decode with byte
+    unstuffing and restart markers, dequant + inverse zigzag, orthonormal
+    IDCT, nearest chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
+    YCbCr→RGB. Progressive (SOF2) and arithmetic coding → None."""
+    if data is None or data[:3] != b"\xff\xd8\xff":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        comps = None
+        w = h = 0
+        dri = 0
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            m = data[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            seg = int.from_bytes(data[i + 2 : i + 4], "big")
+            body = data[i + 4 : i + 2 + seg]
+            if m == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 15
+                    if pq:  # 16-bit table
+                        tbl = np.frombuffer(body[p + 1 : p + 129], ">u2").astype(np.int32)
+                        p += 129
+                    else:
+                        tbl = np.frombuffer(body[p + 1 : p + 65], np.uint8).astype(np.int32)
+                        p += 65
+                    qt[tq] = tbl
+            elif m == 0xC4:  # DHT
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 15
+                    counts = body[p + 1 : p + 17]
+                    p += 17
+                    table, code = {}, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = body[p]
+                            p += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless
+            elif m == 0xDD:  # DRI
+                dri = int.from_bytes(body[0:2], "big")
+            elif m == 0xDA:  # SOS
+                ns = body[0]
+                sel = {}
+                for c in range(ns):
+                    sel[body[1 + 2 * c]] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
+                if comps is None or w == 0 or h == 0:
+                    return None
+                for comp in comps:
+                    comp["dc"], comp["ac"] = sel[comp["id"]]
+                return _jpeg_scan(data, i + 2 + seg, w, h, comps, qt, huff, dri)
+            elif m == 0xD9:
+                break
+            i += 2 + seg
+        return None
+    except Exception:
+        return None
+
+
+def _jpeg_scan(data, pos, w, h, comps, qt, huff, dri) -> np.ndarray | None:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((my * 8 * c["v"], mx * 8 * c["h"]), np.float64) for c in comps
+    ]
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    zz, M = _ZIGZAG, _DCT_M
+    n_mcu = 0
+    for yy in range(my):
+        for xx in range(mx):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, c in enumerate(comps):
+                dch, ach = huff[(0, c["dc"])], huff[(1, c["ac"])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, np.int64)
+                        t = _huff_decode(br, dch)
+                        diff = _extend(br.bits(t), t)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ach)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            coef[k] = _extend(br.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[zz] = coef * q
+                        spat = M.T @ blk.reshape(8, 8) @ M + 128.0
+                        y0, x0 = (yy * c["v"] + by) * 8, (xx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spat
+            if br.pos >= len(data):
+                break
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def decode_image(data: bytes | None) -> np.ndarray | None:
-    """Dispatch pixel decode by magic bytes. PNG and BMP are REAL; the
-    entropy-coded containers (JPEG/GIF/WEBP) return None here — their
+    """Dispatch pixel decode by magic bytes. PNG, BMP and baseline JPEG
+    are REAL; progressive JPEG and GIF/WEBP return None here — their
     header dims still flow through ``parse_image_dims`` (the declared
-    no-imaging-libs accommodation)."""
+    no-imaging-libs accommodation; the reference skips gif thumbnails)."""
     if data is None:
         return None
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(data)
     return None
 
 

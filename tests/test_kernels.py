@@ -324,3 +324,256 @@ def test_thumbnail_bytes_real_resize():
     assert np.array_equal(arr, resize_nearest(img, 200, 80))
 
     assert thumbnail_bytes(b"\xff\xd8\xff\xe0 fake jpeg") == (None, None, None)
+
+
+# --- JPEG codec tests: spec-grounded fixtures + independent-encoder round-trip
+
+_QL = np.array([  # Annex K luminance quant table (raster order)
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QC = np.array([  # Annex K chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _cat(v):
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _enc_jpeg(rgb, quality=92, gray=False):
+    """Independent minimal JPEG encoder (4:4:4 / grayscale, flat-length
+    canonical Huffman tables — any DHT-declared table is legal JPEG)."""
+    from image_search_indexing_spark.operators.multimodal import _DCT_M, _ZIGZAG
+
+    h, w = rgb.shape[:2]
+    if gray:
+        planes = [rgb[:, :, 0].astype(np.float64)]
+        qts = [_QL]
+    else:
+        r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [_QL, _QC, _QC]
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qts = [np.clip((q * s + 50) // 100, 1, 255).astype(np.int32) for q in qts]
+
+    # flat canonical Huffman: 12 DC symbols at len 4, 162 AC symbols at len 8
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
+    dc_code = {v: (v, 4) for v in range(12)}
+    ac_code = {sym: (i, 8) for i, sym in enumerate(sorted(ac_syms))}
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    zz = _ZIGZAG
+    for t, q in enumerate(qts[: (1 if gray else 2)]):
+        out += seg(0xDB, bytes([t]) + bytes(q[zz].astype(np.uint8).tolist()))
+    nc = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dht_dc = bytes(dc_counts) + bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+    dht_ac = bytes(ac_counts) + bytes(sorted(ac_syms))
+    out += seg(0xC4, bytes([0x00]) + dht_dc) + seg(0xC4, bytes([0x10]) + dht_ac)
+    if not gray:
+        out += seg(0xC4, bytes([0x01]) + dht_dc) + seg(0xC4, bytes([0x11]) + dht_ac)
+    sos = bytes([nc]) + b"".join(
+        bytes([c + 1, 0x00 if c == 0 else 0x11]) for c in range(nc)
+    ) + bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    M = _DCT_M
+    bw = _BitWriter()
+    pred = [0] * nc
+    for by in range(-(-h // 8)):
+        for bx in range(-(-w // 8)):
+            for ci in range(nc):
+                p = planes[ci]
+                blk = np.zeros((8, 8))
+                ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
+                blk[:ys, :xs] = p[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+                blk[:ys, xs:] = blk[:ys, xs - 1 : xs]
+                blk[ys:, :] = blk[ys - 1 : ys, :]
+                F = M @ (blk - 128.0) @ M.T
+                q = qts[0 if ci == 0 else 1].reshape(8, 8)
+                coef = np.round(F / q).astype(np.int64).ravel()[zz]
+                diff = int(coef[0]) - pred[ci]
+                pred[ci] = int(coef[0])
+                t = _cat(diff)
+                code, ln = dc_code[t]
+                bw.put(code, ln)
+                if t:
+                    bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                k, run = 1, 0
+                while k < 64:
+                    v = int(coef[k])
+                    if v == 0:
+                        run += 1
+                    else:
+                        while run > 15:
+                            code, ln = ac_code[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        sz = _cat(v)
+                        code, ln = ac_code[(run << 4) | sz]
+                        bw.put(code, ln)
+                        bw.put(v if v >= 0 else v + (1 << sz) - 1, sz)
+                        run = 0
+                    k += 1
+                if run:
+                    code, ln = ac_code[0x00]
+                    bw.put(code, ln)
+    bw.flush()
+    return bytes(out) + bytes(bw.out) + b"\xff\xd9"
+
+
+def test_jpeg_decode_dc_only_spec_fixture():
+    """Spec-grounded: a hand-built 4:2:0 two-MCU JPEG with DC-only
+    coefficients must decode to exact known constant blocks (independent
+    of any encoder), exercising MCU interleave, chroma upsample, restart
+    markers and the DC predictor reset."""
+    from image_search_indexing_spark.operators.multimodal import decode_jpeg
+
+    # 1 DC symbol table (cat 4 at len 2 enough): use flat len-4 table of cats 0..11
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dht_dc = bytes(dc_counts) + bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[0] = 1  # single AC symbol: EOB at length 1 (code 0)
+    dht_ac = bytes(ac_counts) + bytes([0x00])
+    q = bytes([1] * 64)  # identity quant
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    w, h = 16, 16  # one 4:2:0 MCU = 4 Y blocks + Cb + Cr; two MCUs via 32 wide
+    w = 32
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    bw = _BitWriter()
+
+    def dc(diff):
+        t = _cat(diff)
+        bw.put(t, 4)  # flat len-4 DC table: code == category
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        bw.put(0, 1)  # EOB (single len-1 AC code)
+
+    # MCU 1: Y blocks DC = 64,128,192,255-ish deltas (DC coeff = 8*(val-128))
+    # DC quantized coeff c gives spatial value c/8 + 128 (orthonormal IDCT).
+    for target in (64, 128, 192, 248):
+        val = 8 * (target - 128)
+        dc(val - (bw.__dict__.setdefault("_pred", 0)))
+        bw._pred = val
+    dc(0 - bw.__dict__.setdefault("_predcb", 0)); bw._predcb = 0  # Cb = 128
+    dc(8 * (200 - 128)); bw._predcr = 8 * (200 - 128)  # Cr = 200
+    bw.flush()
+    mcu1 = bytes(bw.out)
+
+    bw = _BitWriter()
+    # MCU 2 after RST0: predictors reset to 0
+    for target in (10, 20, 30, 40):
+        val = 8 * (target - 128)
+        dc(val - bw.__dict__.setdefault("_pred2", 0))
+        bw._pred2 = val
+    dc(0)  # Cb = 128
+    dc(0)  # Cr = 128
+    bw.flush()
+    mcu2 = bytes(bw.out)
+
+    data = (
+        b"\xff\xd8" + seg(0xDB, bytes([0]) + q) + seg(0xC0, sof)
+        + seg(0xC4, bytes([0x00]) + dht_dc) + seg(0xC4, bytes([0x10]) + dht_ac)
+        + seg(0xDD, (1).to_bytes(2, "big"))  # DRI = 1 MCU
+        + seg(0xDA, sos) + mcu1 + b"\xff\xd0" + mcu2 + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img is not None and img.shape == (16, 32, 3)
+    # Y plane per quadrant of MCU1 (Cb=128 neutral, Cr=200 shifts R/G)
+    y00 = img[0:8, 0:8].astype(np.float64)
+    # R = Y + 1.402*(200-128) ≈ Y + 100.9
+    assert abs(y00[:, :, 0].mean() - (64 + 1.402 * 72)) < 1.5
+    assert abs(img[0:8, 8:16, 0].astype(float).mean() - (128 + 1.402 * 72)) < 1.5
+    assert abs(img[8:16, 0:8, 0].astype(float).mean() - min(255.0, 192 + 1.402 * 72)) < 1.5
+    # MCU2 (x 16..32): neutral chroma → gray levels exactly 10/20/30/40
+    assert abs(img[0:8, 16:24].astype(float).mean() - 10) < 1.0
+    assert abs(img[0:8, 24:32].astype(float).mean() - 20) < 1.0
+    assert abs(img[8:16, 16:24].astype(float).mean() - 30) < 1.0
+    assert abs(img[8:16, 24:32].astype(float).mean() - 40) < 1.0
+
+
+def test_jpeg_roundtrip_and_thumbnail():
+    """decode_jpeg inverts an INDEPENDENT minimal encoder (flat Huffman
+    tables, Annex K quant) within quantization tolerance, for color and
+    grayscale; thumbnail_bytes now covers JPEG; progressive → None."""
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_jpeg, parse_image_dims, thumbnail_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth image (quantization-friendly): low-frequency gradients
+    y, x = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(x / 18.0),
+            128 + 100 * np.cos(y / 15.0),
+            128 + 80 * np.sin((x + y) / 22.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    data = _enc_jpeg(img, quality=92)
+    assert parse_image_dims(data) == (56, 40)
+    got = decode_jpeg(data)
+    assert got is not None and got.shape == img.shape
+    err = np.abs(got.astype(np.int32) - img.astype(np.int32))
+    assert err.mean() < 4.0 and err.max() < 40, (err.mean(), err.max())
+
+    g = np.repeat(rng.integers(80, 170, (24, 24, 1), dtype=np.uint8), 3, axis=2)
+    gotg = decode_jpeg(_enc_jpeg(g, quality=95, gray=True))
+    errg = np.abs(gotg.astype(np.int32) - g.astype(np.int32))
+    assert errg.mean() < 4.0, errg.mean()
+
+    big = np.stack([x * 4 % 256, y * 6 % 256, (x + y) % 256], axis=2).astype(np.uint8)
+    thumb, tw, th = thumbnail_bytes(_enc_jpeg(big, quality=92))
+    assert thumb is not None and (tw, th) == (56, 40)  # under box: same dims
+
+    # progressive (SOF2) is a declared None
+    prog = _enc_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
