@@ -629,15 +629,23 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_image_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, binary_col: str = "payload", thumbnails: bool = False
+) -> DataFrame:
     """Attach (width, height, n_bytes, mime) per binary payload.
 
     MIME sniffing and dimension parsing are REAL (header arithmetic, see
     ``parse_image_dims``); width/height are NULL when the container is
     unknown or the header is malformed — downstream gates treat
     payload-present-but-unparseable as a dropped image (``ImageParse``
-    null). A full pixel decode (PIL) would slot into the same batch loop
-    without changing the schema or the Arrow batching.
+    null).
+
+    ``thumbnails=True`` additionally runs the REAL pixel path in the same
+    Arrow batch loop (``thumbnail_bytes``: PNG/BMP/baseline-JPEG decode →
+    ≤200×200 resample → PNG re-encode), adding ``thumb``/``thumb_width``/
+    ``thumb_height`` — the reference's ``imgSrcBase64`` source bytes
+    (``ImageParse.java:89-193``). NULL for containers without a pixel
+    decoder (progressive JPEG, GIF, SVG).
     """
 
     def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -651,10 +659,17 @@ def decode_image_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                 [len(b) if b is not None else 0 for b in payload], dtype="Int32"
             )
             out["mime_detected"] = payload.map(sniff_mime)
+            if thumbnails:
+                res = [thumbnail_bytes(b) for b in payload]
+                out["thumb"] = [r[0] for r in res]
+                out["thumb_width"] = pd.array([r[1] for r in res], dtype="Int32")
+                out["thumb_height"] = pd.array([r[2] for r in res], dtype="Int32")
             yield out
 
-    schema = T.StructType(df.schema.fields + list(DECODE_SCHEMA.fields))
-    return df.mapInPandas(_decode_batch, schema)
+    fields = df.schema.fields + list(DECODE_SCHEMA.fields)
+    if thumbnails:
+        fields += list(THUMB_SCHEMA.fields)
+    return df.mapInPandas(_decode_batch, T.StructType(fields))
 
 
 def size_gate(df: DataFrame) -> DataFrame:

@@ -66,6 +66,7 @@ def attach_media_meta(
     url_col: str = "url",
     payload_col: str = "payload",
     observation=None,
+    with_thumbnails: bool = False,
 ) -> DataFrame:
     """F3 + P2 + F9 over real bytes: SHA-256 content digest, header-parsed
     dimensions, magic-byte MIME and the reported-vs-detected mismatch flag
@@ -84,14 +85,22 @@ def attach_media_meta(
     ``images_mime_wrong`` (detected ≠ reported — MIME_WRONG)."""
     from ..operators import multimodal as MM
 
+    # with_thumbnails: the REAL pixel path (PNG/BMP/baseline-JPEG decode →
+    # ≤200×200 resample → PNG) rides the same Arrow pass, and the output
+    # carries `img_src_base64` — the reference's stored-thumbnail field
+    # (`ImageDataSerializer.java:46` imgSrcBase64). NULL for containers
+    # with no pixel decoder (SVG, gif, progressive jpeg).
+    thumb_cols = [F.base64(F.col("thumb")).alias("img_src_base64")] if with_thumbnails else []
     meta = MM.decode_image_meta(
-        media_df.select(F.col(url_col).alias("img_url"), F.col(payload_col).alias("payload"))
+        media_df.select(F.col(url_col).alias("img_url"), F.col(payload_col).alias("payload")),
+        thumbnails=with_thumbnails,
     ).select(
         "img_url",
         F.sha2("payload", 256).alias("__content_digest"),
         "width",
         "height",
         "mime_detected",
+        *thumb_cols,
     )
     ext = F.lower(F.regexp_extract("img_url", r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1))
     reported = F.element_at(
@@ -162,7 +171,12 @@ def build_records(spark: SparkSession, sf_dir: str, media_df: DataFrame | None =
     return records_from_refs(refs, media_df)
 
 
-def records_from_refs(refs: DataFrame, media_df: DataFrame | None = None, observation=None):
+def records_from_refs(
+    refs: DataFrame,
+    media_df: DataFrame | None = None,
+    observation=None,
+    with_thumbnails: bool = False,
+):
     """(captures, page_records) from an already-extracted valid-refs frame."""
     captures = refs.select(
         "surt",
@@ -173,7 +187,9 @@ def records_from_refs(refs: DataFrame, media_df: DataFrame | None = None, observ
         F.col("img_filename_tokens").alias("img_title"),
     )
     if media_df is not None:
-        captures = attach_media_meta(captures, media_df, observation=observation)
+        captures = attach_media_meta(
+            captures, media_df, observation=observation, with_thumbnails=with_thumbnails
+        )
     else:
         captures = (
             captures.withColumn("width", F.lit(None).cast("int"))

@@ -308,6 +308,40 @@ def test_media_size_gates_and_mime_mismatch(spark):
     assert cap3.count() == 0
 
 
+def test_media_thumbnails_ride_the_capture_pass(spark):
+    """imgSrcBase64 parity (ImageDataSerializer.java:46): with
+    with_thumbnails=True a decodable payload's capture carries a REAL
+    ≤200×200 PNG thumbnail, base64-encoded, produced in the same Arrow
+    pass as digest/dims; undecodable containers carry NULL."""
+    import base64
+
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import decode_png, encode_png
+    from image_search_indexing_spark.plans.indexer import records_from_refs
+
+    url_png = "http://www.hosta.pt/x/real.png"
+    url_gif = "http://www.hosta.pt/x/anim.gif"
+    y, x = np.mgrid[0:100, 0:400]
+    img = np.stack([x % 256, y % 256, (x + 2 * y) % 256], axis=2).astype(np.uint8)
+    rows = [
+        ("d1", [_t("cap", 0), _img(url_png, 1)]),
+        ("d2", [_t("cap", 0), _img(url_gif, 1)]),
+    ]
+    media = spark.createDataFrame(
+        [(url_png, bytearray(encode_png(img))), (url_gif, bytearray(_gif(120, 90)))],
+        "url string, payload binary",
+    )
+    captures, _ = records_from_refs(_refs(spark, rows), media, with_thumbnails=True)
+    got = {r["img_url"]: r for r in captures.collect()}
+    thumb = decode_png(base64.b64decode(got[url_png]["img_src_base64"]))
+    assert thumb.shape == (50, 200, 3)  # 400x100 → ≤200 ratio box
+    assert got[url_gif]["img_src_base64"] is None  # no gif pixel decoder
+    # default path unchanged: no thumbnail column
+    cap2, _ = records_from_refs(_refs(spark, rows), media)
+    assert "img_src_base64" not in cap2.columns
+
+
 def test_media_gate_counters_observation(spark):
     """IMAGE_COUNTERS parity (ImageIndexerWithDupsJob.java:70-98): the
     parse-stage counters ride an Observation on the attach_media_meta pass —
