@@ -21,13 +21,19 @@ What is REAL as well (stdlib-only, no imaging library):
   inverse zigzag, orthonormal IDCT, chroma upsampling, YCbCr→RGB);
 - byte-level thumbnail resize (``thumbnail_bytes``: decode → centered
   nearest-neighbor numpy resample to the ≤200×200 ratio box → PNG) —
-  the actual ``ImageParse.java:89-193`` behavior for these containers.
+  the actual ``ImageParse.java:89-193`` behavior for these containers;
+- PCM WAV decode + per-window RMS loudness in dBFS (``decode_wav``,
+  ``audio_rms_db`` — real DSP, exact durations from sample counts);
+- ISO-BMFF (MP4) box-walk metadata: real duration/track count from
+  ``mvhd``/``trak`` (``parse_mp4_meta``) driving a real frame-sample
+  timeline.
 
 What is STUBBED (this container has no PIL/torchaudio/pyav): progressive
 JPEG, GIF/WEBP pixel decode (header dims still real; the reference skips
-gif thumbnails anyway), audio DSP, video frame decode. Those kernels are
-deterministic stand-ins behind the exact Arrow batch shape a real decoder
-would use — swap the body for the library call and nothing else changes.
+gif thumbnails anyway), compressed-audio DSP (mp3/ogg/flac), video frame
+PIXEL decode. Those kernels are deterministic stand-ins behind the exact
+Arrow batch shape a real decoder would use — swap the body for the
+library call and nothing else changes.
 """
 
 from __future__ import annotations
@@ -76,6 +82,9 @@ def sniff_mime(data: bytes | None) -> str | None:
                 if data[8:12] != b"WEBP":
                     continue
             return mime
+    if data[4:8] == b"ftyp":  # ISO BMFF: size(4) + 'ftyp' + major brand
+        brand = data[8:12]
+        return "audio/mp4" if brand in (b"M4A ", b"M4B ") else "video/mp4"
     if data[:5] in (b"<?xml", b"<svg ") or data.lstrip()[:4] == b"<svg":
         return "image/svg+xml"
     return "application/octet-stream"
@@ -693,9 +702,62 @@ def thumbnail_dims(width: Column, height: Column, max_side: int = MAX_THUMB_SIDE
     )
 
 
+def decode_wav(data: bytes | None) -> tuple[np.ndarray, int] | None:
+    """REAL RIFF/WAVE PCM decode (stdlib-free byte parse): returns
+    (mono float64 samples in [-1, 1], sample_rate) for 8/16-bit PCM,
+    channels averaged; compressed/float WAV or missing chunks → None."""
+    if data is None or len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt, raw = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                raw = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or raw is None or len(fmt) < 16:
+            return None
+        audio_fmt = int.from_bytes(fmt[0:2], "little")
+        nch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_fmt != 1 or nch < 1 or bits not in (8, 16) or rate == 0:
+            return None
+        if bits == 16:
+            usable = len(raw) // (2 * nch) * 2 * nch
+            a = np.frombuffer(raw, "<i2", usable // 2).astype(np.float64) / 32768.0
+        else:  # 8-bit PCM is unsigned
+            usable = len(raw) // nch * nch
+            a = (np.frombuffer(raw, np.uint8, usable).astype(np.float64) - 128.0) / 128.0
+        if len(a) == 0:
+            return None
+        return a.reshape(-1, nch).mean(axis=1), rate
+    except Exception:
+        return None
+
+
+def audio_rms_db(samples: np.ndarray, rate: int, window_ms: int = 1000) -> np.ndarray:
+    """REAL per-window loudness: RMS in dBFS per ``window_ms`` window
+    (silence floor -200 dB)."""
+    spw = max(1, rate * window_ms // 1000)
+    n = len(samples)
+    nw = max(1, -(-n // spw))
+    out = np.empty(nw)
+    for w in range(nw):
+        seg = samples[w * spw : (w + 1) * spw]
+        r = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+        out[w] = 20.0 * np.log10(r) if r > 1e-10 else -200.0
+    return out
+
+
 AUDIO_SCHEMA = (
     "media_id string, mime_detected string, n_bytes int, "
-    "duration_ms_est long, n_windows int, loudness_fp long"
+    "duration_ms_est long, n_windows int, loudness_fp long, "
+    "sample_rate int, rms_db_mean double"
 )
 
 
@@ -703,14 +765,16 @@ def extract_audio_features(
     df: DataFrame, media_id: str = "media_id", payload: str = "payload",
     window_ms: int = 1000, bitrate_bps: int = 128_000,
 ) -> DataFrame:
-    """Audio feature-extraction plumbing (stubbed DSP kernel).
+    """Audio feature extraction: REAL for PCM WAV, estimated otherwise.
 
-    Real impl: torchaudio/librosa decode → per-window loudness/MFCC. The
-    sandbox has no audio libs, so duration is estimated from byte length at
-    an assumed bitrate and the per-window "loudness" fingerprint is a
-    deterministic xxhash-style fold of the window's bytes — the Arrow
-    batch shape, schema and windowing arithmetic are the real contract.
-    MIME sniffing is real (magic bytes).
+    WAV payloads take the real DSP path (``decode_wav`` → exact duration
+    from the sample count, per-window RMS loudness in dBFS via
+    ``audio_rms_db``, fingerprint = md5 fold of the quantized loudness
+    curve, ``sample_rate``/``rms_db_mean`` populated). Compressed
+    containers (mp3/ogg/flac — no codecs in this sandbox) keep the
+    declared estimate path: duration from byte length at an assumed
+    bitrate, fingerprint folded over raw byte windows, NULL sample_rate.
+    MIME sniffing is real (magic bytes) on both paths.
     """
 
     def _features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -723,22 +787,83 @@ def extract_audio_features(
                 if buf is None:
                     continue
                 n = len(buf)
+                wav = decode_wav(bytes(buf))
+                if wav is not None:  # REAL path
+                    samples, rate = wav
+                    dur = len(samples) * 1000 // rate
+                    rms = audio_rms_db(samples, rate, window_ms)
+                    fp = int.from_bytes(
+                        hashlib.md5(np.round(rms, 4).tobytes()).digest()[:8], "big"
+                    ) >> 1
+                    rows.append(
+                        (mid, sniff_mime(bytes(buf)), n, dur, len(rms), fp,
+                         rate, float(rms.mean()))
+                    )
+                    continue
                 dur = n * 8000 // bitrate_bps  # ms at the assumed bitrate
                 n_win = max(1, (n + bytes_per_window - 1) // bytes_per_window)
                 fp = 0
-                for w in range(n_win):  # per-window fold (stub DSP kernel)
+                for w in range(n_win):  # per-window fold (estimate path)
                     chunk = buf[w * bytes_per_window : (w + 1) * bytes_per_window]
                     fp ^= int.from_bytes(hashlib.md5(chunk).digest()[:8], "big") >> 1
-                rows.append((mid, sniff_mime(bytes(buf)), n, dur, n_win, fp))
-            yield pd.DataFrame(
+                rows.append((mid, sniff_mime(bytes(buf)), n, dur, n_win, fp, None, None))
+            out = pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "mime_detected", "n_bytes",
                     "duration_ms_est", "n_windows", "loudness_fp",
+                    "sample_rate", "rms_db_mean",
                 ],
             )
+            out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+            yield out
 
     return df.mapInPandas(_features, AUDIO_SCHEMA)
+
+
+def parse_mp4_meta(data: bytes | None) -> tuple[int, int] | None:
+    """REAL ISO-BMFF (MP4) metadata parse: (duration_ms, n_tracks) from
+    the ``moov``/``mvhd``/``trak`` box structure — plain box-walk
+    arithmetic, no codec needed (frame DECODE still requires one)."""
+    if data is None or len(data) < 16 or data[4:8] != b"ftyp":
+        return None
+    try:
+        def walk(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                sz = int.from_bytes(data[pos : pos + 4], "big")
+                typ = data[pos + 4 : pos + 8]
+                body = pos + 8
+                if sz == 1:  # 64-bit largesize
+                    sz = int.from_bytes(data[pos + 8 : pos + 16], "big")
+                    body = pos + 16
+                if sz < 8:
+                    return
+                yield typ, body, pos + sz
+                pos += sz
+
+        for typ, body, end in walk(0, len(data)):
+            if typ != b"moov":
+                continue
+            dur_ms, n_trak = None, 0
+            for t2, b2, e2 in walk(body, end):
+                if t2 == b"mvhd":
+                    ver = data[b2]
+                    if ver == 1:
+                        ts = int.from_bytes(data[b2 + 20 : b2 + 24], "big")
+                        dur = int.from_bytes(data[b2 + 24 : b2 + 32], "big")
+                    else:
+                        ts = int.from_bytes(data[b2 + 12 : b2 + 16], "big")
+                        dur = int.from_bytes(data[b2 + 16 : b2 + 20], "big")
+                    if ts:
+                        dur_ms = dur * 1000 // ts
+                elif t2 == b"trak":
+                    n_trak += 1
+            if dur_ms is not None:
+                return dur_ms, n_trak
+        return None
+    except Exception:
+        return None
 
 
 FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame binary"
@@ -746,11 +871,14 @@ FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame binary"
 
 def sample_frames(df: DataFrame, media_id: str = "media_id", payload: str = "payload",
                   every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
-    """Video frame-sampling plumbing (stubbed decode).
+    """Video frame sampling: REAL timeline, stubbed pixel decode.
 
-    Real impl: pyav demux/decode keyframes every `every_ms`. Stub emits
-    deterministic placeholder frames derived from the payload bytes, with
-    the exact output schema/batching a real sampler uses."""
+    For MP4 payloads the sample TIMELINE is real — frame timestamps are
+    spaced ``every_ms`` across the container's actual ``mvhd`` duration
+    (``parse_mp4_meta``), capped at ``max_frames``. The frame PIXELS are
+    deterministic placeholders (no codec in this sandbox); a pyav-backed
+    decoder would replace only the ``tag`` bytes. Non-MP4 payloads keep
+    the declared length-derived stub count."""
 
     def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -760,7 +888,12 @@ def sample_frames(df: DataFrame, media_id: str = "media_id", payload: str = "pay
             for mid, buf in zip(pdf[media_id], pdf[payload]):
                 if buf is None:
                     continue
-                n = min(max_frames, 1 + len(buf) % max_frames)
+                meta = parse_mp4_meta(bytes(buf))
+                if meta is not None:  # real timeline from the mvhd duration
+                    dur_ms, _ = meta
+                    n = min(max_frames, max(1, -(-dur_ms // every_ms)))
+                else:
+                    n = min(max_frames, 1 + len(buf) % max_frames)
                 for i in range(n):
                     tag = hashlib.md5(buf + i.to_bytes(4, "big")).digest()
                     rows.append((mid, i, i * every_ms, tag))

@@ -577,3 +577,94 @@ def test_jpeg_roundtrip_and_thumbnail():
     # progressive (SOF2) is a declared None
     prog = _enc_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
+
+
+def test_wav_decode_and_rms_real():
+    """decode_wav is a REAL PCM parser (verified against the stdlib wave
+    encoder): sample rate/count exact, full-scale sine RMS = -3.01 dBFS,
+    silence floors at -200, stereo channels average, float WAV → None."""
+    import io
+    import wave
+
+    from image_search_indexing_spark.operators.multimodal import audio_rms_db, decode_wav
+
+    rate = 8000
+    t = np.arange(rate * 2)  # 2 s
+    sine = np.sin(2 * np.pi * 440 * t / rate)
+    pcm = np.concatenate([sine, np.zeros(rate)])  # 3rd second silent
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((pcm * 32767).astype("<i2").tobytes())
+    data = buf.getvalue()
+
+    samples, got_rate = decode_wav(data)
+    assert got_rate == rate and len(samples) == 3 * rate
+    rms = audio_rms_db(samples, rate, window_ms=1000)
+    assert rms.shape == (3,)
+    assert abs(rms[0] - (-3.0103)) < 0.01 and abs(rms[1] - (-3.0103)) < 0.01
+    assert rms[2] == -200.0
+
+    # stereo: L = -R → mono average is silence
+    buf2 = io.BytesIO()
+    inter = np.empty(2 * len(sine))
+    inter[0::2], inter[1::2] = sine, -sine
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((inter * 32767).astype("<i2").tobytes())
+    s2, _ = decode_wav(buf2.getvalue())
+    assert np.abs(s2).max() < 1e-4
+
+    # 8-bit unsigned PCM
+    buf3 = io.BytesIO()
+    with wave.open(buf3, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes((128 + 100 * sine[:rate]).astype(np.uint8).tobytes())
+    s3, _ = decode_wav(buf3.getvalue())
+    assert len(s3) == rate and abs(np.abs(s3).max() - 100 / 128) < 0.02
+
+    # IEEE-float WAV (fmt 3) is not PCM → declared None
+    flt = bytearray(data)
+    flt[20:22] = (3).to_bytes(2, "little")
+    assert decode_wav(bytes(flt)) is None
+    assert decode_wav(b"RIFFxxxxWAVE" + b"x" * 50) is None  # chunkless
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def test_mp4_meta_real():
+    """parse_mp4_meta walks real ISO-BMFF boxes: mvhd v0 and v1 duration
+    arithmetic, trak counting; sniff_mime brands mp4 audio vs video."""
+    from image_search_indexing_spark.operators.multimodal import parse_mp4_meta, sniff_mime
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    mvhd0 = _mp4_box(
+        b"mvhd",
+        bytes(4) + bytes(8)  # version/flags + ctime/mtime
+        + (1000).to_bytes(4, "big") + (5500).to_bytes(4, "big") + bytes(80),
+    )
+    trak = _mp4_box(b"trak", b"")
+    moov = _mp4_box(b"moov", mvhd0 + trak + trak)
+    data = ftyp + moov + _mp4_box(b"mdat", b"\x00" * 64)
+    assert sniff_mime(data) == "video/mp4"
+    assert parse_mp4_meta(data) == (5500, 2)
+
+    mvhd1 = _mp4_box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16)  # v1: 64-bit ctime/mtime
+        + (90000).to_bytes(4, "big") + (90000 * 12).to_bytes(8, "big") + bytes(80),
+    )
+    data1 = ftyp + _mp4_box(b"moov", mvhd1 + trak)
+    assert parse_mp4_meta(data1) == (12000, 1)
+
+    m4a = _mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00") + _mp4_box(b"moov", mvhd0)
+    assert sniff_mime(m4a) == "audio/mp4"
+    assert parse_mp4_meta(b"notmp4data") is None

@@ -200,6 +200,53 @@ def test_audio_features_and_sniff(spark):
     assert r["loudness_fp"] == fp
 
 
+def test_audio_real_wav_and_mp4_timeline(spark):
+    """REAL multimodal paths through the Arrow surface: a PCM WAV payload
+    gets exact duration, real per-window RMS loudness and sample_rate;
+    an MP4 payload's frame-sample timeline comes from its mvhd duration."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        extract_audio_features,
+        sample_frames,
+    )
+
+    rate = 8000
+    t = np.arange(rate * 2)
+    pcm = np.concatenate([np.sin(2 * np.pi * 220 * t / rate), np.zeros(rate)])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((pcm * 32767).astype("<i2").tobytes())
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame([("w1", bytearray(wav))], "media_id string, payload binary")
+    r = extract_audio_features(df).collect()[0]
+    assert r["mime_detected"] == "audio/wav"
+    assert r["duration_ms_est"] == 3000  # EXACT from sample count, not bitrate
+    assert r["n_windows"] == 3 and r["sample_rate"] == rate
+    # mean of [-3.01, -3.01, -200] dBFS
+    assert abs(r["rms_db_mean"] - (2 * -3.0103 + -200.0) / 3) < 0.02
+
+    def box(typ, body):
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + (1000).to_bytes(4, "big") + (3500).to_bytes(4, "big") + bytes(80),
+    )
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd + box(b"trak", b""))
+    vdf = spark.createDataFrame([("v1", bytearray(mp4))], "media_id string, payload binary")
+    frames = sample_frames(vdf).collect()
+    # 3500 ms at 1000 ms spacing → 4 samples on the REAL timeline
+    assert [f["ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+
 def test_ivf_topk_degenerates_to_exact_and_recalls(spark):
     """IVF invariants: probing ALL inverted lists == brute-force cosine
     top-k exactly; probing a fraction keeps recall well above chance."""
