@@ -487,6 +487,34 @@ def _caption_guard(spark, sf):
     )
 
 
+def _stratified_sample(spark, sf):
+    """Deterministic per-language sampling (training-data curation
+    quotas): md5-prefix threshold keeps a reproducible fraction per
+    stratum as a pure pushed-down filter — no shuffle, no RNG, identical
+    membership at any partitioning. Oracle runs the same expression."""
+    from image_search_indexing_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.25}, default_rate=0.1, salt="bench"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _ngram_doc_freq(spark, sf):
+    """Corpus-level document frequency of word 3-shingles (the IDF /
+    boilerplate-detection table every corpus pipeline maintains):
+    per-doc DISTINCT shingles exploded, counted, thresholded — partial
+    aggregation map-side, one shuffle on the shingle."""
+    from image_search_indexing_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = docs.select(
+        F.explode(F.array_distinct(TX.word_shingles(F.col("text")))).alias("shingle")
+    )
+    return sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") >= 5)
+
+
 def _indexer_counters(spark, sf):
     """Job-level counter parity (DupDigestMergerJob COUNTERS + job-1
     REDUCE_COUNTERS) as an oracle-checked long-format query."""
@@ -504,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_counters": _indexer_counters,
         "indexer_media_counters": _indexer_media_counters,
         "caption_guard": _caption_guard,
+        "stratified_sample": _stratified_sample,
+        "ngram_doc_freq": _ngram_doc_freq,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -1218,6 +1248,20 @@ def oracle_sql() -> dict[str, str]:
         "indexer_counters": _INDEXER_COUNTERS_SQL,
         "indexer_media_counters": _INDEXER_MEDIA_COUNTERS_SQL,
         "caption_guard": _CAPTION_GUARD_SQL,
+        "stratified_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(doc_id::VARCHAR || '|bench'), 1, 8) <
+      CASE WHEN lang = 'en' THEN '80000000'
+           WHEN lang = 'zh' THEN '40000000'
+           ELSE '19999999' END
+""",
+        "ngram_doc_freq": f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES.format(t=_TOKS.format(c='text'))})) AS s
+  FROM documents
+)
+SELECT s AS shingle, count(*) AS df FROM ex GROUP BY s HAVING count(*) >= 5
+""",
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
         "near_dup_components": _near_dup_components_sql(),

@@ -150,3 +150,47 @@ def test_connected_components_rejects_string_ids(spark):
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
     with pytest.raises(TypeError, match="integral"):
         connected_components(pairs)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """Sampling is a pure pushed-down filter: membership is identical at
+    any partitioning (unlike df.sample's partition-seeded RNG), rates are
+    honored within binomial noise, salts draw independent samples, and
+    the plan contains no Exchange."""
+    from image_search_indexing_spark.operators.sampling import hash_sample
+
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="a").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs.repartition(13), 0.3, salt="a").collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 20_000 - 0.3) < 0.02
+    other = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="b").collect()}
+    assert other != s1
+    assert abs(len(s1 & other) / 20_000 - 0.09) < 0.02  # independent draws
+    assert hash_sample(docs, 1.0).count() == 20_000
+    assert hash_sample(docs, 0.0).count() == 0
+    plan = hash_sample(docs, 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_rates(spark):
+    """Per-stratum thresholds: each language keeps ~its own rate, and the
+    union equals per-stratum hash_sample membership (same key+salt)."""
+    from image_search_indexing_spark.operators.sampling import hash_sample, stratified_sample
+
+    docs = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("pt"), F.lit("zh")), (F.col("id") % 3 + 1).cast("int")
+        ).alias("lang"),
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.6, "pt": 0.2}, default_rate=0.05, salt="q")
+    got = out.groupBy("lang").count().collect()
+    rates = {r["lang"]: r["count"] / 10_000 for r in got}
+    assert abs(rates["en"] - 0.6) < 0.03
+    assert abs(rates["pt"] - 0.2) < 0.03
+    assert abs(rates.get("zh", 0.0) - 0.05) < 0.02
+    # equivalence with per-stratum hash_sample (same selector)
+    en_only = {r["doc_id"] for r in hash_sample(
+        docs.where(F.col("lang") == "en"), 0.6, salt="q").collect()}
+    assert {r["doc_id"] for r in out.where(F.col("lang") == "en").collect()} == en_only
