@@ -231,7 +231,11 @@ def politeness(spark: SparkSession, cfg: GenConfig) -> DataFrame:
 
 
 def robots(spark: SparkSession, cfg: GenConfig) -> DataFrame:
-    """robots.txt rules: every 7th host disallows /img/1*, every 13th all /img/."""
+    """robots.txt rules exercising RFC 9309 precedence: every 7th host
+    disallows /img/1*, every 13th all /img/ — but every 13th also ALLOWS
+    the longer /img/12 prefix (longest-match: those URLs stay fetchable),
+    and hosts divisible by both get an allow tied in length with a
+    disallow (allow wins the tie)."""
     import pyspark.sql.functions as F
 
     hid = F.col("id")
@@ -244,4 +248,12 @@ def robots(spark: SparkSession, cfg: GenConfig) -> DataFrame:
     r2 = base.where(hid % 13 == 0).select(
         host.alias("host"), F.lit("disallow").alias("rule"), F.lit("/img/").alias("path_pre")
     )
-    return r1.unionByName(r2)
+    # longest-match override: /img/12* allowed on the /img/-disallowed hosts
+    r3 = base.where(hid % 13 == 0).select(
+        host.alias("host"), F.lit("allow").alias("rule"), F.lit("/img/12").alias("path_pre")
+    )
+    # equal-length tie on hosts hit by both r1 and r2: allow /img/1 wins
+    r4 = base.where((hid % 7 == 0) & (hid % 13 == 0)).select(
+        host.alias("host"), F.lit("allow").alias("rule"), F.lit("/img/1").alias("path_pre")
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

@@ -129,10 +129,14 @@ class FrontierOracle:
             p["host"]: (int(p["max_fetch_per_round"]), int(p["crawl_delay_ms"]))
             for p in (politeness or [])
         }
-        self.disallow: dict[str, list[str]] = {}
+        # RFC 9309 rule list per host: (rule, path_pre), empty prefixes
+        # dropped ("Disallow:" = allow-all)
+        self.robots_rules: dict[str, list[tuple[str, str]]] = {}
         for r in robots or []:
-            if r["rule"] == "disallow":
-                self.disallow.setdefault(r["host"], []).append(r["path_pre"])
+            if r.get("path_pre"):
+                self.robots_rules.setdefault(r["host"], []).append(
+                    (r["rule"], r["path_pre"])
+                )
 
     # -- extraction (mirror of frontier.extract.extract_refs) ---------------
 
@@ -205,11 +209,17 @@ class FrontierOracle:
         return rows, counters
 
     def _robots_blocked(self, row: dict) -> bool:
-        pres = self.disallow.get(row["host"])
-        if not pres:
+        """RFC 9309 precedence: longest matching prefix wins, allow wins
+        length ties, no match = allowed (mirror of robots_filter)."""
+        rules = self.robots_rules.get(row["host"])
+        if not rules:
             return False
         path = re.sub(r"^(?:https?:)?//[^/]*", "", row["ref_url"])
-        return any(path.startswith(p) for p in pres)
+        matched = [(rule, pre) for rule, pre in rules if path.startswith(pre)]
+        if not matched:
+            return False
+        mlen = max(len(pre) for _, pre in matched)
+        return not any(rule == "allow" for rule, pre in matched if len(pre) == mlen)
 
     # -- one round -----------------------------------------------------------
 

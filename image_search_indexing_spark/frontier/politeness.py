@@ -33,23 +33,36 @@ DEFAULT_SALTS = 16
 def robots_filter(refs: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Mark rows disallowed by robots rules (adds boolean ``robots_blocked``).
 
-    ``robots(host, rule, path_pre)`` — only 'disallow' rules participate.
-    The per-host rule arrays are a broadcast dimension: tiny vs the refs fact
-    table, so Catalyst plans a broadcast hash join (no shuffle of refs).
+    ``robots(host, rule, path_pre)`` with ``rule ∈ {allow, disallow}``,
+    evaluated with RFC 9309 (Robots Exclusion Protocol) precedence: among
+    all rules whose path prefix matches the URL path, the LONGEST prefix
+    wins; at equal length ``allow`` wins; no matching rule = allowed.
+    Empty-prefix rules are dropped at aggregation ("Disallow:" means
+    allow-all in REP). Wildcard rules (``*``/``$``) are resolved to prefix
+    rules at robots.txt PARSE time upstream — evaluation here is pure
+    prefix arithmetic, so the whole check is builtin higher-order
+    functions over a broadcast-joined per-host rule array: no row
+    explosion, no UDF, no shuffle of the refs fact table.
     """
     if robots is None:
         return refs.withColumn("robots_blocked", F.lit(False))
     rules = (
-        robots.where(F.col("rule") == "disallow")
+        robots.where(F.coalesce(F.col("path_pre"), F.lit("")) != "")
         .groupBy("host")
-        .agg(F.collect_list("path_pre").alias("__disallow"))
+        .agg(F.collect_list(F.struct("rule", "path_pre")).alias("__rules"))
     )
     path = F.regexp_replace(F.col("ref_url"), r"^(?:https?:)?//[^/]*", "")
-    blocked = F.exists(F.col("__disallow"), lambda pre: path.startswith(pre))
+    matches = F.filter(F.col("__rules"), lambda r: path.startswith(r["path_pre"]))
+    mlen = F.array_max(F.transform(matches, lambda r: F.length(r["path_pre"])))
+    allow_wins = F.exists(
+        matches,
+        lambda r: (F.length(r["path_pre"]) == mlen) & (r["rule"] == "allow"),
+    )
+    blocked = (F.size(matches) > 0) & ~allow_wins
     return (
         refs.join(F.broadcast(rules), "host", "left")
         .withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
-        .drop("__disallow")
+        .drop("__rules")
     )
 
 

@@ -384,3 +384,44 @@ def test_span_cap_counters_match_oracle(spark, corpus, corpus_py, tmp_path_facto
         assert _batch_rows(drv, r) == [
             {k: row[k] for k in BATCH_COLS} for row in state.fetch_batches[r]
         ]
+
+
+def test_robots_rfc9309_precedence(spark):
+    """RFC 9309 rule precedence in robots_filter: longest matching prefix
+    wins; allow wins equal-length ties; empty prefixes are allow-all; no
+    matching rule = allowed (engine and Python oracle agree case by case)."""
+    from image_search_indexing_spark.frontier.oracle import FrontierOracle, OracleConfig
+    from image_search_indexing_spark.frontier.politeness import robots_filter
+
+    rules = [
+        ("h1", "disallow", "/img/"),
+        ("h1", "allow", "/img/12"),     # longer → /img/12* fetchable
+        ("h2", "disallow", "/a"),
+        ("h2", "allow", "/a"),          # tie → allow wins
+        ("h3", "disallow", ""),         # "Disallow:" = allow-all, dropped
+        ("h4", "allow", "/only"),       # allow-only host: nothing blocked
+    ]
+    cases = [
+        ("h1", "http://h1/img/9.png", True),    # /img/ disallow wins
+        ("h1", "http://h1/img/123.png", False),  # /img/12 allow is longer
+        ("h1", "http://h1/other.png", False),    # no match
+        ("h2", "http://h2/a/x.png", False),      # equal length → allow
+        ("h3", "http://h3/img/1.png", False),    # empty prefix dropped
+        ("h4", "http://h4/only/x.png", False),
+        ("h5", "http://h5/img/1.png", False),    # host with no rules
+    ]
+    refs = spark.createDataFrame(
+        [(h, u) for h, u, _ in cases], "host string, ref_url string"
+    )
+    robots = spark.createDataFrame(rules, "host string, rule string, path_pre string")
+    got = {
+        (r["host"], r["ref_url"]): r["robots_blocked"]
+        for r in robots_filter(refs, robots).collect()
+    }
+    oracle = FrontierOracle(
+        OracleConfig(),
+        robots=[{"host": h, "rule": r, "path_pre": p} for h, r, p in rules],
+    )
+    for h, u, expected in cases:
+        assert got[(h, u)] is expected, (h, u)
+        assert oracle._robots_blocked({"host": h, "ref_url": u}) is expected, (h, u)
