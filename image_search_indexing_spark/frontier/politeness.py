@@ -66,6 +66,125 @@ def robots_filter(refs: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
 
 
+def parse_robots_txt(text: str, agent: str = "archivebot") -> tuple[list[tuple[str, str]], int | None]:
+    """Parse a robots.txt FILE into ``robots_filter`` rows — RFC 9309
+    group selection + directive extraction (pure Python; runs where the
+    fetcher runs, one call per host, so rows — not files — are what the
+    cluster broadcasts).
+
+    Returns ``([(rule, path_pre), ...], crawl_delay_ms | None)``.
+
+    - **Group selection**: the group(s) whose ``User-agent`` most
+      specifically matches ``agent`` win (exact/substring match beats
+      ``*``; RFC 9309 §2.2.1); only the winning groups' rules apply.
+      Adjacent user-agent lines share one group.
+    - **Directives**: ``Allow`` / ``Disallow`` (case-insensitive keys),
+      values taken to end-of-line, ``#`` comments stripped, empty
+      ``Disallow:`` = allow-all (dropped — the evaluator's contract).
+    - **Wildcards**: patterns are truncated at the first ``*`` and a
+      trailing ``$`` is stripped — the standard prefix approximation
+      (fast-path used by production crawlers); the approximation widens
+      the rule's match set in its OWN direction, never flips precedence
+      class, and keeps evaluation pure prefix arithmetic JVM-side.
+    - **Crawl-delay**: parsed from the winning group (seconds → ms) for
+      the politeness table; invalid numbers ignored.
+    """
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]], int | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    cur_delay: int | None = None
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                flush()
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            pre = val.split("*", 1)[0]
+            if pre.endswith("$"):
+                pre = pre[:-1]
+            if pre:
+                cur_rules.append((key, pre))
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = int(float(val) * 1000)
+            except ValueError:
+                pass
+    flush()
+
+    def specificity(agents: list[str]) -> int:
+        best = -1
+        for a in agents:
+            if a == agent_l:
+                best = max(best, 2)
+            elif a != "*" and (a in agent_l or agent_l in a):
+                best = max(best, 1)
+            elif a == "*":
+                best = max(best, 0)
+        return best
+
+    best = max((specificity(a) for a, _, _ in groups), default=-1)
+    if best < 0:
+        return [], None
+    rules: list[tuple[str, str]] = []
+    delay: int | None = None
+    for agents, rs, d in groups:
+        if specificity(agents) == best:
+            rules.extend(rs)
+            if d is not None:
+                delay = d if delay is None else min(delay, d)
+    return rules, delay
+
+
+ROBOTS_ROWS_SCHEMA = "host string, rule string, path_pre string, crawl_delay_ms long"
+
+
+def robots_table_from_txt(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt",
+    agent: str = "archivebot",
+) -> DataFrame:
+    """(host, robots_txt) → (host, rule, path_pre, crawl_delay_ms) rows —
+    the distributed parse step between fetching per-host robots.txt files
+    and ``robots_filter``/politeness. One Arrow batch pass (robots files
+    are tiny and per-host, so this is embarrassingly parallel); a host
+    whose file yields only a crawl-delay emits one NULL-rule row so the
+    delay survives to the politeness table."""
+    import pandas as pd
+
+    def _parse(it):
+        for pdf in it:
+            rows = []
+            for h, t in zip(pdf[host_col], pdf[txt_col]):
+                rules, delay = parse_robots_txt(t or "", agent)
+                if not rules and delay is None:
+                    continue
+                if not rules:
+                    rows.append((h, None, None, delay))
+                for r, p in rules:
+                    rows.append((h, r, p, delay))
+            yield pd.DataFrame(
+                rows, columns=["host", "rule", "path_pre", "crawl_delay_ms"]
+            )
+
+    return df.mapInPandas(_parse, ROBOTS_ROWS_SCHEMA)
+
+
 def crawl_order() -> list[Column]:
     """The deterministic total order of the frontier queue (per host)."""
     return [

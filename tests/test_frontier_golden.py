@@ -425,3 +425,91 @@ def test_robots_rfc9309_precedence(spark):
     for h, u, expected in cases:
         assert got[(h, u)] is expected, (h, u)
         assert oracle._robots_blocked({"host": h, "ref_url": u}) is expected, (h, u)
+
+
+def test_parse_robots_txt_groups_and_wildcards():
+    """robots.txt FILE parsing: RFC 9309 group selection (specific agent
+    beats *, adjacent user-agent lines share a group), comment/blank
+    handling, wildcard→prefix truncation, $ stripping, empty Disallow
+    dropped, crawl-delay seconds→ms from the winning group only."""
+    from image_search_indexing_spark.frontier.politeness import parse_robots_txt
+
+    txt = """
+# robots for example.pt
+User-agent: *
+Disallow: /private/
+Crawl-delay: 10
+
+User-agent: archivebot   # our crawler
+User-agent: otherbot
+Disallow: /img/*/raw
+Allow: /img/
+Disallow: /exact$
+Disallow:
+Crawl-delay: 2.5
+
+User-agent: evilbot
+Disallow: /
+"""
+    rules, delay = parse_robots_txt(txt, agent="archivebot")
+    # the specific group wins; the * group's /private/ does NOT apply
+    assert rules == [
+        ("disallow", "/img/"),   # /img/*/raw truncated at the first *
+        ("allow", "/img/"),      # tie with the disallow → allow wins downstream
+        ("disallow", "/exact"),  # $ stripped
+    ]
+    assert delay == 2500
+
+    rules2, delay2 = parse_robots_txt(txt, agent="randombot")
+    assert rules2 == [("disallow", "/private/")] and delay2 == 10_000
+
+    assert parse_robots_txt("", agent="x") == ([], None)
+    # no matching group at all (file without *) → no rules
+    assert parse_robots_txt("User-agent: a\nDisallow: /x", agent="b") == ([], None)
+    # substring agent match beats *
+    rules3, _ = parse_robots_txt(
+        "User-agent: *\nDisallow: /a\nUser-agent: archive\nDisallow: /b",
+        agent="archivebot",
+    )
+    assert rules3 == [("disallow", "/b")]
+
+
+def test_robots_txt_to_filter_end_to_end(spark):
+    """robots.txt files → distributed parse → robots_filter: the full
+    fetch-side path a crawler runs, with per-host groups and delays."""
+    from pyspark.sql import functions as F
+
+    from image_search_indexing_spark.frontier.politeness import (
+        robots_filter,
+        robots_table_from_txt,
+    )
+
+    files = [
+        ("site1.pt", "User-agent: archivebot\nDisallow: /img/\nAllow: /img/ok\nCrawl-delay: 3"),
+        ("site2.pt", "User-agent: *\nDisallow: /\nUser-agent: archivebot\nDisallow:\n"),
+        ("site3.pt", "User-agent: *\nCrawl-delay: 7\n"),
+    ]
+    tbl = robots_table_from_txt(
+        spark.createDataFrame(files, "host string, robots_txt string")
+    )
+    rows = tbl.collect()
+    delays = {r["host"]: r["crawl_delay_ms"] for r in rows}
+    assert delays["site1.pt"] == 3000 and delays["site3.pt"] == 7000
+    # site2: archivebot's own group is empty Disallow (allow-all) → no rules
+    assert not [r for r in rows if r["host"] == "site2.pt" and r["rule"] is not None]
+
+    refs = spark.createDataFrame(
+        [
+            ("site1.pt", "http://site1.pt/img/okthing.png"),
+            ("site1.pt", "http://site1.pt/img/no.png"),
+            ("site2.pt", "http://site2.pt/anything.png"),
+        ],
+        "host string, ref_url string",
+    )
+    got = {
+        r["ref_url"]: r["robots_blocked"]
+        for r in robots_filter(refs, tbl.where(F.col("rule").isNotNull())).collect()
+    }
+    assert got["http://site1.pt/img/okthing.png"] is False  # longer allow
+    assert got["http://site1.pt/img/no.png"] is True
+    assert got["http://site2.pt/anything.png"] is False
