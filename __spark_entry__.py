@@ -515,6 +515,31 @@ def _ngram_doc_freq(spark, sf):
     return sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") >= 5)
 
 
+def _clean_corpus(spark, sf):
+    """END-TO-END curation pipeline — the composed operation a training
+    corpus actually runs: quality/language gate → exact-dedup champion
+    (min doc_id per normalized-text fingerprint) → deterministic
+    per-language sample. One declarative plan: gate and fingerprint ride
+    the scan, one shuffle for the champion window, the sample is a pure
+    filter. Oracle composes the same three SQL stages."""
+    from image_search_indexing_spark.functions import text as TX
+    from image_search_indexing_spark.operators.sampling import stratified_sample
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.55) & (F.col("lang_pred") != "und"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    champ = kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    samp = stratified_sample(champ, "lang_pred", {"en": 0.5}, default_rate=1.0, salt="clean")
+    return samp.select("doc_id", "lang_pred", "quality")
+
+
 def _indexer_counters(spark, sf):
     """Job-level counter parity (DupDigestMergerJob COUNTERS + job-1
     REDUCE_COUNTERS) as an oracle-checked long-format query."""
@@ -534,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
         "ngram_doc_freq": _ngram_doc_freq,
+        "clean_corpus": _clean_corpus,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -1261,6 +1287,22 @@ WITH ex AS (
   FROM documents
 )
 SELECT s AS shingle, count(*) AS df FROM ex GROUP BY s HAVING count(*) >= 5
+""",
+        "clean_corpus": f"""
+WITH lq AS (SELECT doc_id, lang_pred, quality FROM ({_lang_quality_sql()})),
+fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       FROM documents),
+kept AS (
+  SELECT lq.doc_id, lq.lang_pred, lq.quality, fp.f
+  FROM lq JOIN fp ON fp.doc_id = lq.doc_id
+  WHERE lq.quality >= 0.55 AND lq.lang_pred <> 'und'),
+champ AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1)
+SELECT doc_id, lang_pred, quality FROM champ
+WHERE substr(md5(doc_id::VARCHAR || '|clean'), 1, 8) <
+      CASE WHEN lang_pred = 'en' THEN '80000000' ELSE 'g' END
 """,
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
