@@ -581,23 +581,43 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def thumbnail_box(w: int, h: int, max_side: int = MAX_THUMB_SIDE) -> tuple[int, int]:
-    """Ratio-preserving ≤max_side box — same arithmetic as
-    ``thumbnail_dims`` (Spark HALF_UP rounding, floor 1px)."""
-    scale = min(max_side / w, max_side / h, 1.0)
-    return max(1, int(w * scale + 0.5)), max(1, int(h * scale + 0.5))
+    """Reference box arithmetic EXACTLY (``ImageParse.java:146-163``):
+    either dim under ``max_side`` → keep the original size (the
+    reference skips the resize entirely); else fit the aspect box with
+    Java int truncation. Python twin of ``thumbnail_dims``."""
+    if w < max_side or h < max_side:
+        return w, h
+    ratio = w / h
+    if ratio > 1.0:
+        return max_side, max(1, int(max_side / ratio))
+    return max(1, int(max_side * ratio)), max_side
 
 
 def thumbnail_bytes(
     data: bytes | None, max_side: int = MAX_THUMB_SIDE
 ) -> tuple[bytes | None, int | None, int | None]:
-    """REAL byte-level thumbnail (F10, ``ImageParse.java:89-193``) for
-    PNG/BMP payloads: decode pixels, resample into the ≤200×200 ratio
-    box, re-encode as PNG. Returns (png_bytes, w, h) or (None,)*3 when
-    the container has no real decoder here."""
+    """REAL byte-level thumbnail (F10, ``ImageParse.java:89-193``):
+
+    - gif/svg payloads keep their ORIGINAL bytes untouched — the
+      reference explicitly skips resizing them (``:131-134``);
+    - PNG/BMP/baseline-JPEG decode pixels, resample into the reference's
+      thumb box (no-op when either dim < 200, ``:146-147``), re-encode.
+      The reference re-encodes in the source MIME via ImageIO; here the
+      re-encode is always PNG (the one real encoder in this sandbox).
+
+    Returns (bytes, w, h) or (None,)*3 when the container has no real
+    decoder here (progressive JPEG, webp)."""
+    if data is not None:
+        mime = sniff_mime(bytes(data))
+        if mime == "image/gif" or (mime or "").endswith("svg+xml"):
+            w, h = parse_image_dims(bytes(data))
+            return bytes(data), w, h
     img = decode_image(data)
     if img is None:
         return None, None, None
     tw, th = thumbnail_box(img.shape[1], img.shape[0], max_side)
+    if (tw, th) == (img.shape[1], img.shape[0]):
+        return encode_png(img), tw, th
     return encode_png(resize_nearest(img, tw, th)), tw, th
 
 
@@ -691,15 +711,23 @@ def size_gate(df: DataFrame) -> DataFrame:
 
 
 def thumbnail_dims(width: Column, height: Column, max_side: int = MAX_THUMB_SIDE):
-    """imgscalr-style ratio-preserving ≤200×200 resize dims (F10 analog,
-    pure built-ins — the byte-level resize itself is the stubbed part)."""
-    scale = F.least(
-        F.lit(float(max_side)) / width, F.lit(float(max_side)) / height, F.lit(1.0)
+    """Reference thumbnail-box arithmetic EXACTLY (``ImageParse.java:
+    146-163``): no resize at all unless BOTH dims ≥ max_side (either
+    side under the thumb box keeps the original); otherwise fit the
+    aspect box with Java int truncation. Pure built-ins."""
+    ratio = width.cast("double") / height.cast("double")
+    small = (width < max_side) | (height < max_side)
+    tw = (
+        F.when(small, width)
+        .when(ratio > 1.0, F.lit(max_side))
+        .otherwise(F.greatest(F.floor(F.lit(max_side) * ratio).cast("int"), F.lit(1)))
     )
-    return (
-        F.greatest(F.round(width * scale).cast("int"), F.lit(1)),
-        F.greatest(F.round(height * scale).cast("int"), F.lit(1)),
+    th = (
+        F.when(small, height)
+        .when(ratio > 1.0, F.greatest(F.floor(F.lit(max_side) / ratio).cast("int"), F.lit(1)))
+        .otherwise(F.lit(max_side))
     )
+    return tw, th
 
 
 def decode_wav(data: bytes | None) -> tuple[np.ndarray, int] | None:

@@ -322,21 +322,23 @@ def test_media_thumbnails_ride_the_capture_pass(spark):
 
     url_png = "http://www.hosta.pt/x/real.png"
     url_gif = "http://www.hosta.pt/x/anim.gif"
-    y, x = np.mgrid[0:100, 0:400]
+    y, x = np.mgrid[0:300, 0:400]
     img = np.stack([x % 256, y % 256, (x + 2 * y) % 256], axis=2).astype(np.uint8)
+    gif_bytes = _gif(120, 90)
     rows = [
         ("d1", [_t("cap", 0), _img(url_png, 1)]),
         ("d2", [_t("cap", 0), _img(url_gif, 1)]),
     ]
     media = spark.createDataFrame(
-        [(url_png, bytearray(encode_png(img))), (url_gif, bytearray(_gif(120, 90)))],
+        [(url_png, bytearray(encode_png(img))), (url_gif, bytearray(gif_bytes))],
         "url string, payload binary",
     )
     captures, _ = records_from_refs(_refs(spark, rows), media, with_thumbnails=True)
     got = {r["img_url"]: r for r in captures.collect()}
     thumb = decode_png(base64.b64decode(got[url_png]["img_src_base64"]))
-    assert thumb.shape == (50, 200, 3)  # 400x100 → ≤200 ratio box
-    assert got[url_gif]["img_src_base64"] is None  # no gif pixel decoder
+    assert thumb.shape == (150, 200, 3)  # 400x300 → reference aspect box
+    # gif: ORIGINAL bytes pass through untouched (ImageParse.java:131-134)
+    assert base64.b64decode(got[url_gif]["img_src_base64"]) == gif_bytes
     # default path unchanged: no thumbnail column
     cap2, _ = records_from_refs(_refs(spark, rows), media)
     assert "img_src_base64" not in cap2.columns

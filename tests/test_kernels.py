@@ -308,20 +308,36 @@ def test_thumbnail_bytes_real_resize():
         decode_png, resize_nearest, thumbnail_box, thumbnail_bytes,
     )
 
-    assert thumbnail_box(400, 100) == (200, 50)
-    assert thumbnail_box(100, 50) == (100, 50)  # never upscale
+    # reference semantics (ImageParse.java:146-163): either dim < 200 →
+    # keep the original size; else aspect-fit with Java int truncation
+    assert thumbnail_box(400, 100) == (400, 100)
+    assert thumbnail_box(100, 50) == (100, 50)
     assert thumbnail_box(15000, 15000) == (200, 200)
-    assert thumbnail_box(10000, 10) == (200, 1)  # 1px floor
+    assert thumbnail_box(400, 300) == (200, 150)
+    assert thumbnail_box(300, 400) == (150, 200)
+    assert thumbnail_box(10000, 300) == (200, 6)  # int(200/33.33) truncates
 
     from image_search_indexing_spark.operators.multimodal import encode_png
 
-    y, x = np.mgrid[0:120, 0:300]
+    y, x = np.mgrid[0:240, 0:400]
     img = np.stack([(x % 256), (y % 256), ((x + y) % 256)], axis=2).astype(np.uint8)
     thumb, tw, th = thumbnail_bytes(encode_png(img))
-    assert (tw, th) == (200, 80)
+    assert (tw, th) == (200, 120)
     arr = decode_png(thumb)
-    assert arr.shape == (80, 200, 3)
-    assert np.array_equal(arr, resize_nearest(img, 200, 80))
+    assert arr.shape == (120, 200, 3)
+    assert np.array_equal(arr, resize_nearest(img, 200, 120))
+
+    # either dim under the box: re-encoded at the ORIGINAL size (no-op resize)
+    small = img[:120, :300]
+    thumb2, tw2, th2 = thumbnail_bytes(encode_png(small))
+    assert (tw2, th2) == (300, 120)
+    assert np.array_equal(decode_png(thumb2), small)
+
+    # gif/svg: original bytes pass through untouched (ImageParse.java:131-134)
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (250).to_bytes(2, "little") + b"z" * 40
+    assert thumbnail_bytes(gif) == (gif, 300, 250)
+    svg = b'<svg xmlns="x" width="900" height="600"><desc>s</desc></svg>'
+    assert thumbnail_bytes(svg) == (svg, 900, 600)
 
     assert thumbnail_bytes(b"\xff\xd8\xff\xe0 fake jpeg") == (None, None, None)
 

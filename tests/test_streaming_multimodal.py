@@ -119,7 +119,7 @@ def test_attach_thumbnails_real_bytes(spark):
         resize_nearest,
     )
 
-    y, x = np.mgrid[0:90, 0:400]
+    y, x = np.mgrid[0:240, 0:400]
     big = np.stack([x % 256, y % 256, (x * 3 + y) % 256], axis=2).astype(np.uint8)
     small = np.full((60, 60, 3), 17, np.uint8)
     rows = [
@@ -130,10 +130,10 @@ def test_attach_thumbnails_real_bytes(spark):
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     out = {r["media_id"]: r for r in attach_thumbnails(df).collect()}
 
-    assert (out["big"]["thumb_width"], out["big"]["thumb_height"]) == (200, 45)
+    assert (out["big"]["thumb_width"], out["big"]["thumb_height"]) == (200, 120)
     got = decode_png(bytes(out["big"]["thumb"]))
-    assert np.array_equal(got, resize_nearest(big, 200, 45))
-    # under the box: bytes re-encoded at original size, never upscaled
+    assert np.array_equal(got, resize_nearest(big, 200, 120))
+    # either dim under the box: original size kept (ImageParse.java:146-147)
     assert (out["small"]["thumb_width"], out["small"]["thumb_height"]) == (60, 60)
     assert np.array_equal(decode_png(bytes(out["small"]["thumb"])), small)
     assert out["jpeg"]["thumb"] is None and out["jpeg"]["thumb_width"] is None
