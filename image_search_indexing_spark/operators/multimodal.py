@@ -127,6 +127,31 @@ def _jpeg_dims(data: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
+def _webp_dims(data: bytes) -> tuple[int | None, int | None]:
+    """WebP (width, height) from the container chunks — extended (VP8X
+    canvas), lossless (VP8L 14-bit packed) and lossy (VP8 frame tag).
+    Header arithmetic only; a capability the reference's ImageIO lacks
+    (webp there falls into the unparseable/MIME_INVALID branch)."""
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if cc == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h
+        if cc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if cc == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return w, h
+        pos += 8 + sz + (sz & 1)
+    return None, None
+
+
 _SVG_W = re.compile(rb'\swidth="(\d+)(?:px)?"')
 _SVG_H = re.compile(rb'\sheight="(\d+)(?:px)?"')
 
@@ -161,6 +186,8 @@ def parse_image_dims(data: bytes | None) -> tuple[int | None, int | None]:
             return abs(w), abs(h)
         if data[:3] == b"\xff\xd8\xff":
             return _jpeg_dims(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return _webp_dims(data)
         head = data[:4096]
         if head[:5] in (b"<?xml", b"<svg ") or head.lstrip()[:4] == b"<svg":
             tag_end = head.find(b">")

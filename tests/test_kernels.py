@@ -684,3 +684,30 @@ def test_mp4_meta_real():
     m4a = _mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00") + _mp4_box(b"moov", mvhd0)
     assert sniff_mime(m4a) == "audio/mp4"
     assert parse_mp4_meta(b"notmp4data") is None
+
+
+def test_webp_dims_real():
+    """WebP dims from VP8X / VP8L / VP8 headers (beyond the reference,
+    whose ImageIO can't read webp at all)."""
+    from image_search_indexing_spark.operators.multimodal import parse_image_dims, sniff_mime
+
+    def riff(chunks):
+        body = b"WEBP" + b"".join(
+            cc + len(p).to_bytes(4, "little") + p + (b"\x00" if len(p) % 2 else b"")
+            for cc, p in chunks
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    vp8x = riff([(b"VP8X", bytes(4) + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))])
+    assert sniff_mime(vp8x) == "image/webp"
+    assert parse_image_dims(vp8x) == (800, 600)
+
+    bits = (320 - 1) | ((240 - 1) << 14)
+    vp8l = riff([(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little"))])
+    assert parse_image_dims(vp8l) == (320, 240)
+
+    vp8 = riff([(b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+                 + (1024).to_bytes(2, "little") + (768).to_bytes(2, "little"))])
+    assert parse_image_dims(vp8) == (1024, 768)
+
+    assert parse_image_dims(riff([(b"JUNK", b"xx")])) == (None, None)
