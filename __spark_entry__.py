@@ -515,6 +515,23 @@ def _ngram_doc_freq(spark, sf):
     return sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") >= 5)
 
 
+def _winnow_fp(spark, sf):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS) per
+    document, k=16-char grams, w=16 windows — compacted to (count,
+    digest-of-set) per doc so the driver compare stays scalar. The md5
+    lexicographic-min trick makes the whole algorithm one built-in
+    projection, mirrored exactly in the DuckDB oracle."""
+    from image_search_indexing_spark.functions import text as TX
+
+    d = _t(spark, sf, "documents")
+    fps = TX.winnow_fingerprints(F.col("text"), 16, 16)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+    )
+
+
 def _clean_corpus(spark, sf):
     """END-TO-END curation pipeline — the composed operation a training
     corpus actually runs: quality/language gate → exact-dedup champion
@@ -560,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "ngram_doc_freq": _ngram_doc_freq,
         "clean_corpus": _clean_corpus,
+        "winnow_fp": _winnow_fp,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
@@ -1287,6 +1305,27 @@ WITH ex AS (
   FROM documents
 )
 SELECT s AS shingle, count(*) AS df FROM ex GROUP BY s HAVING count(*) >= 5
+""",
+        "winnow_fp": """
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) >= 16
+              THEN [substr(nt, i, 16) for i in range(1, length(nt) - 14)]
+              WHEN length(nt) > 0 THEN [nt] ELSE [] END AS grams
+  FROM nrm),
+h AS (SELECT doc_id, [md5(x) for x in grams] AS hs FROM g),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) > 0
+              THEN list_sort(list_distinct(
+                     [list_min(hs[i:i+15])
+                      for i in range(1, greatest(len(hs) - 15, 1) + 1)]))
+              ELSE [] END AS fp
+  FROM h)
+SELECT doc_id, len(fp) AS n_fp, md5(array_to_string(fp, ',')) AS fp_digest FROM m
 """,
         "clean_corpus": f"""
 WITH lq AS (SELECT doc_id, lang_pred, quality FROM ({_lang_quality_sql()})),

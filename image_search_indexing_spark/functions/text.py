@@ -269,6 +269,27 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalize_text(text))
 
 
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): md5 of every k-char-gram of the
+    normalized text, then the minimum hash of each w-gram window is
+    selected; the sorted distinct minima are the document's fingerprint
+    set. Guarantees: any match of length ≥ k+w-1 shares a fingerprint,
+    and selection density is ~2/(w+1) — position-robust local sampling
+    that plain shingle-MinHash doesn't give. Fixed-width lowercase hex
+    compares lexicographically == numerically, so ``array_min`` over md5
+    strings is the numeric winnow and the SAME expression runs in the
+    DuckDB oracle. Built-ins only: one projection, no shuffle, no UDF."""
+    grams = char_ngrams(text, k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.when(n > 0, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """array<string> of word k-shingles (space-joined), for MinHash/Jaccard."""
     toks = word_tokens(text)

@@ -85,3 +85,34 @@ def test_charset_detection_and_decode(spark):
     out = {r["i"]: r["txt"] for r in df.select(
         "i", decode_detected_udf()(F.col("payload")).alias("txt")).collect()}
     assert out == {i: want for i, (_, _, want) in enumerate(cases)}
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. SIGMOD'03): documents
+    sharing a substring of length >= k+w-1 share at least one
+    fingerprint; disjoint docs don't; density is ~2/(w+1)."""
+    from pyspark.sql import functions as F
+
+    from image_search_indexing_spark.functions.text import winnow_fingerprints
+
+    k, w = 8, 4
+    common = "the quick brown fox jumps over the lazy dog near the river bank"
+    a = "AAAA start " + common + " end one"
+    b = "totally different prefix " + common + " and suffix two"
+    c = "no overlap here whatsoever in this entirely distinct document text"
+    df = spark.createDataFrame([("a", a), ("b", b), ("c", c)], "doc_id string, text string")
+    rows = df.select(
+        "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("fp")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fp"]) for r in rows}
+    assert fps["a"] & fps["b"]          # >= k+w-1 shared chars → shared fp
+    assert not (fps["a"] & fps["c"])
+    assert not (fps["b"] & fps["c"])
+    # density: |fp| ≈ 2/(w+1) of window count (loose band)
+    n_windows = len(a.lower()) - k + 1 - w + 1
+    assert 0.1 < len(fps["a"]) / n_windows < 0.8
+    # short and empty texts degrade gracefully
+    tiny = spark.createDataFrame([("t", "abc"), ("e", "")], "doc_id string, text string")
+    got = {r["doc_id"]: r["f"] for r in tiny.select(
+        "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("f")).collect()}
+    assert len(got["t"]) == 1 and got["e"] == []
