@@ -129,13 +129,16 @@ class FrontierOracle:
             p["host"]: (int(p["max_fetch_per_round"]), int(p["crawl_delay_ms"]))
             for p in (politeness or [])
         }
-        # RFC 9309 rule list per host: (rule, path_pre), empty prefixes
-        # dropped ("Disallow:" = allow-all)
+        # RFC 9309 rule list per host: (rule, pattern), empty patterns
+        # dropped ("Disallow:" = allow-all). A rule dict may carry a full
+        # wildcard "pattern"; prefix-only dicts (path_pre) are pure-prefix
+        # patterns — mirrors politeness.robots_rule_cols.
         self.robots_rules: dict[str, list[tuple[str, str]]] = {}
         for r in robots or []:
-            if r.get("path_pre"):
+            pat = r.get("pattern") or r.get("path_pre")
+            if pat:
                 self.robots_rules.setdefault(r["host"], []).append(
-                    (r["rule"], r["path_pre"])
+                    (r["rule"], pat)
                 )
 
     # -- extraction (mirror of frontier.extract.extract_refs) ---------------
@@ -209,17 +212,29 @@ class FrontierOracle:
         return rows, counters
 
     def _robots_blocked(self, row: dict) -> bool:
-        """RFC 9309 precedence: longest matching prefix wins, allow wins
-        length ties, no match = allowed (mirror of robots_filter)."""
+        """RFC 9309 precedence: most specific (longest PATTERN) match
+        wins, allow wins length ties, no match = allowed; wildcard/$
+        patterns matched exactly (mirror of robots_filter)."""
+        from image_search_indexing_spark.frontier.politeness import (
+            robots_pattern_to_regex,
+        )
+
         rules = self.robots_rules.get(row["host"])
         if not rules:
             return False
         path = re.sub(r"^(?:https?:)?//[^/]*", "", row["ref_url"])
-        matched = [(rule, pre) for rule, pre in rules if path.startswith(pre)]
+
+        def hit(pat: str) -> bool:
+            rx = robots_pattern_to_regex(pat)
+            if rx is None:
+                return path.startswith(pat)
+            return re.match(rx, path) is not None
+
+        matched = [(rule, pat) for rule, pat in rules if hit(pat)]
         if not matched:
             return False
-        mlen = max(len(pre) for _, pre in matched)
-        return not any(rule == "allow" for rule, pre in matched if len(pre) == mlen)
+        mlen = max(len(pat) for _, pat in matched)
+        return not any(rule == "allow" for rule, pat in matched if len(pat) == mlen)
 
     # -- one round -----------------------------------------------------------
 

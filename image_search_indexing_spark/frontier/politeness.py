@@ -30,33 +30,90 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def robots_pattern_to_regex(pattern: str) -> str | None:
+    """RFC 9309 §2.2.3 path pattern → anchored Java/Python regex, or None
+    when the pattern is a pure literal prefix (``startswith`` suffices —
+    the common case, kept off the regex path entirely).
+
+    ``*`` matches any run of characters; a TRAILING ``$`` anchors the end
+    of the path; every other character is literal (``$`` elsewhere too).
+    """
+    import re as _re
+
+    ends = pattern.endswith("$")
+    body = pattern[:-1] if ends else pattern
+    if "*" not in body and not ends:
+        return None
+    rx = "^" + ".*".join(_re.escape(p) for p in body.split("*"))
+    return rx + "$" if ends else rx
+
+
+def robots_rule_cols(robots: DataFrame) -> DataFrame:
+    """Ensure a robots rule table carries the full evaluation columns.
+
+    Canonical schema: ``(host, rule, path_pre, path_re, spec_len)`` —
+    ``path_pre`` the literal prefix before the first ``*`` (cheap JVM
+    pre-filter), ``path_re`` an anchored regex for wildcard/``$`` rules
+    (NULL for pure prefixes), ``spec_len`` the ORIGINAL pattern length
+    (RFC 9309 precedence is by most-specific = longest PATTERN, wildcards
+    counted, exactly as major production matchers implement it). Legacy
+    prefix-only tables (``path_pre`` alone) are widened in place so every
+    caller keeps working.
+    """
+    cols = set(robots.columns)
+    if "path_re" not in cols:
+        robots = robots.withColumn("path_re", F.lit(None).cast("string"))
+    if "spec_len" not in cols:
+        robots = robots.withColumn(
+            "spec_len", F.length(F.coalesce("path_pre", F.lit(""))).cast("int")
+        )
+    return robots
+
+
 def robots_filter(refs: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Mark rows disallowed by robots rules (adds boolean ``robots_blocked``).
 
-    ``robots(host, rule, path_pre)`` with ``rule ∈ {allow, disallow}``,
-    evaluated with RFC 9309 (Robots Exclusion Protocol) precedence: among
-    all rules whose path prefix matches the URL path, the LONGEST prefix
+    ``robots(host, rule, path_pre[, path_re, spec_len])`` with ``rule ∈
+    {allow, disallow}``, evaluated with RFC 9309 (Robots Exclusion
+    Protocol) precedence: among all rules whose PATTERN matches the URL
+    path, the most specific (longest original pattern, ``spec_len``)
     wins; at equal length ``allow`` wins; no matching rule = allowed.
-    Empty-prefix rules are dropped at aggregation ("Disallow:" means
-    allow-all in REP). Wildcard rules (``*``/``$``) are resolved to prefix
-    rules at robots.txt PARSE time upstream — evaluation here is pure
-    prefix arithmetic, so the whole check is builtin higher-order
+    Empty-pattern rules are dropped at aggregation ("Disallow:" means
+    allow-all in REP). Pure-prefix rules (the overwhelming majority) are
+    evaluated with prefix arithmetic; wildcard/``$`` rules carry an
+    anchored regex (``path_re``) and are matched EXACTLY with
+    ``regexp_like`` — ``Disallow: *`` blocks everything, ``Disallow:
+    *.php`` blocks only matching paths, and a truncation can no longer
+    flip an allow/disallow tie. Everything stays builtin higher-order
     functions over a broadcast-joined per-host rule array: no row
-    explosion, no UDF, no shuffle of the refs fact table.
+    explosion, no UDF, no shuffle of the refs fact table (the regex path
+    only runs for rules that actually contain a wildcard).
     """
     if robots is None:
         return refs.withColumn("robots_blocked", F.lit(False))
+    robots = robots_rule_cols(robots)
     rules = (
-        robots.where(F.coalesce(F.col("path_pre"), F.lit("")) != "")
+        robots.where(
+            (F.coalesce(F.col("path_pre"), F.lit("")) != "")
+            | F.col("path_re").isNotNull()
+        )
         .groupBy("host")
-        .agg(F.collect_list(F.struct("rule", "path_pre")).alias("__rules"))
+        .agg(
+            F.collect_list(
+                F.struct("rule", "path_pre", "path_re", "spec_len")
+            ).alias("__rules")
+        )
     )
     path = F.regexp_replace(F.col("ref_url"), r"^(?:https?:)?//[^/]*", "")
-    matches = F.filter(F.col("__rules"), lambda r: path.startswith(r["path_pre"]))
-    mlen = F.array_max(F.transform(matches, lambda r: F.length(r["path_pre"])))
+    matches = F.filter(
+        F.col("__rules"),
+        lambda r: path.startswith(r["path_pre"])
+        & (r["path_re"].isNull() | F.regexp_like(path, r["path_re"])),
+    )
+    mlen = F.array_max(F.transform(matches, lambda r: r["spec_len"]))
     allow_wins = F.exists(
         matches,
-        lambda r: (F.length(r["path_pre"]) == mlen) & (r["rule"] == "allow"),
+        lambda r: (r["spec_len"] == mlen) & (r["rule"] == "allow"),
     )
     blocked = (F.size(matches) > 0) & ~allow_wins
     return (
@@ -72,20 +129,23 @@ def parse_robots_txt(text: str, agent: str = "archivebot") -> tuple[list[tuple[s
     fetcher runs, one call per host, so rows — not files — are what the
     cluster broadcasts).
 
-    Returns ``([(rule, path_pre), ...], crawl_delay_ms | None)``.
+    Returns ``([(rule, pattern), ...], crawl_delay_ms | None)`` with the
+    FULL original patterns preserved (``*`` and trailing ``$`` intact);
+    ``robots_table_from_txt`` derives the evaluator's prefix/regex/length
+    columns from them.
 
     - **Group selection**: the group(s) whose ``User-agent`` most
-      specifically matches ``agent`` win (exact/substring match beats
-      ``*``; RFC 9309 §2.2.1); only the winning groups' rules apply.
-      Adjacent user-agent lines share one group.
+      specifically matches ``agent`` win: exact product-token match beats
+      a prefix-of-product-token match (longer prefixes more specific)
+      beats ``*`` (RFC 9309 §2.2.1); only the winning groups' rules
+      apply. Adjacent user-agent lines share one group. A ``User-agent:``
+      line with an EMPTY value is malformed and skipped (it must not
+      hijack group selection).
     - **Directives**: ``Allow`` / ``Disallow`` (case-insensitive keys),
       values taken to end-of-line, ``#`` comments stripped, empty
       ``Disallow:`` = allow-all (dropped — the evaluator's contract).
-    - **Wildcards**: patterns are truncated at the first ``*`` and a
-      trailing ``$`` is stripped — the standard prefix approximation
-      (fast-path used by production crawlers); the approximation widens
-      the rule's match set in its OWN direction, never flips precedence
-      class, and keeps evaluation pure prefix arithmetic JVM-side.
+      Wildcard patterns are kept verbatim — ``Disallow: *`` is a
+      disallow-all, not a dropped rule.
     - **Crawl-delay**: parsed from the winning group (seconds → ms) for
       the politeness table; invalid numbers ignored.
     """
@@ -112,14 +172,12 @@ def parse_robots_txt(text: str, agent: str = "archivebot") -> tuple[list[tuple[s
             if in_group_body:
                 flush()
                 in_group_body = False
-            cur_agents.append(val.lower())
+            if val:  # empty UA value is malformed — must not match everything
+                cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
             in_group_body = True
-            pre = val.split("*", 1)[0]
-            if pre.endswith("$"):
-                pre = pre[:-1]
-            if pre:
-                cur_rules.append((key, pre))
+            if val:  # empty Disallow/Allow = no-op rule (REP allow-all)
+                cur_rules.append((key, val))
         elif key == "crawl-delay":
             in_group_body = True
             try:
@@ -129,14 +187,16 @@ def parse_robots_txt(text: str, agent: str = "archivebot") -> tuple[list[tuple[s
     flush()
 
     def specificity(agents: list[str]) -> int:
+        # exact match outranks any prefix; among prefix-of-product-token
+        # matches, longer = more specific; "*" matches everything at 1.
         best = -1
         for a in agents:
             if a == agent_l:
-                best = max(best, 2)
-            elif a != "*" and (a in agent_l or agent_l in a):
-                best = max(best, 1)
+                best = max(best, 1_000_000)
+            elif a != "*" and agent_l.startswith(a):
+                best = max(best, 1 + len(a))
             elif a == "*":
-                best = max(best, 0)
+                best = max(best, 1)
         return best
 
     best = max((specificity(a) for a, _, _ in groups), default=-1)
@@ -152,19 +212,27 @@ def parse_robots_txt(text: str, agent: str = "archivebot") -> tuple[list[tuple[s
     return rules, delay
 
 
-ROBOTS_ROWS_SCHEMA = "host string, rule string, path_pre string, crawl_delay_ms long"
+ROBOTS_ROWS_SCHEMA = (
+    "host string, rule string, path_pre string, path_re string, "
+    "spec_len int, crawl_delay_ms long"
+)
 
 
 def robots_table_from_txt(
     df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt",
     agent: str = "archivebot",
 ) -> DataFrame:
-    """(host, robots_txt) → (host, rule, path_pre, crawl_delay_ms) rows —
-    the distributed parse step between fetching per-host robots.txt files
-    and ``robots_filter``/politeness. One Arrow batch pass (robots files
-    are tiny and per-host, so this is embarrassingly parallel); a host
-    whose file yields only a crawl-delay emits one NULL-rule row so the
-    delay survives to the politeness table."""
+    """(host, robots_txt) → (host, rule, path_pre, path_re, spec_len,
+    crawl_delay_ms) rows — the distributed parse step between fetching
+    per-host robots.txt files and ``robots_filter``/politeness. One Arrow
+    batch pass (robots files are tiny and per-host, so this is
+    embarrassingly parallel); a host whose file yields only a crawl-delay
+    emits one NULL-rule row so the delay survives to the politeness
+    table. ``path_pre`` is the literal prefix before the first ``*`` (may
+    be empty for leading-wildcard patterns), ``path_re`` the anchored
+    regex for wildcard/``$`` patterns (NULL for pure prefixes), and
+    ``spec_len`` the original pattern length used for RFC 9309
+    most-specific-wins precedence."""
     import pandas as pd
 
     def _parse(it):
@@ -175,11 +243,17 @@ def robots_table_from_txt(
                 if not rules and delay is None:
                     continue
                 if not rules:
-                    rows.append((h, None, None, delay))
-                for r, p in rules:
-                    rows.append((h, r, p, delay))
+                    rows.append((h, None, None, None, None, delay))
+                for r, pat in rules:
+                    body = pat[:-1] if pat.endswith("$") else pat
+                    rows.append(
+                        (h, r, body.split("*", 1)[0],
+                         robots_pattern_to_regex(pat), len(pat), delay)
+                    )
             yield pd.DataFrame(
-                rows, columns=["host", "rule", "path_pre", "crawl_delay_ms"]
+                rows,
+                columns=["host", "rule", "path_pre", "path_re",
+                         "spec_len", "crawl_delay_ms"],
             )
 
     return df.mapInPandas(_parse, ROBOTS_ROWS_SCHEMA)

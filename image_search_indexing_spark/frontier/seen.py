@@ -397,12 +397,18 @@ def filter_new_urls(
         else:
             flagged = flagged.withColumn("maybe_deleted", F.lit(True))
         t_keys = tombstones.select(F.col(key).alias("__t_key")).withColumn("__tomb", F.lit(1))
+        # the tombstone lookup is CONDITIONAL on the cuckoo verdict: a
+        # cuckoo negative (no false negatives) is final, so the join
+        # predicate carries `maybe_deleted` and negative rows can never
+        # match a tombstone — the docstring's "negative is final without
+        # consulting the tombstone table" is now the plan's shape, not
+        # just the predicate's algebra.
         flagged = flagged.join(
-            t_keys, flagged[key] == t_keys["__t_key"], "left"
+            t_keys,
+            (flagged[key] == t_keys["__t_key"]) & flagged["maybe_deleted"],
+            "left",
         ).drop("__t_key")
-        keep = F.col("__in_seen").isNull() | (
-            F.col("maybe_deleted") & F.col("__tomb").isNotNull()
-        )
+        keep = F.col("__in_seen").isNull() | F.col("__tomb").isNotNull()
         confirmed_new = flagged.where(keep).drop("__in_seen", "maybe_deleted", "__tomb")
     else:
         confirmed_new = flagged.where(F.col("__in_seen").isNull()).drop("__in_seen")

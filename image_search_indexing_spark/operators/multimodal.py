@@ -607,17 +607,24 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
-def thumbnail_box(w: int, h: int, max_side: int = MAX_THUMB_SIDE) -> tuple[int, int]:
+def thumbnail_box(
+    w: int, h: int, max_side: int = MAX_THUMB_SIDE
+) -> tuple[int, int] | None:
     """Reference box arithmetic EXACTLY (``ImageParse.java:146-163``):
     either dim under ``max_side`` → keep the original size (the
     reference skips the resize entirely); else fit the aspect box with
-    Java int truncation. Python twin of ``thumbnail_dims``."""
+    Java int truncation. Aspect ratios over ``max_side``:1 truncate a
+    dimension to 0 — there Scalr throws and the reference drops the
+    thumbnail (returns null); mirrored here as None. Python twin of
+    ``thumbnail_dims``."""
     if w < max_side or h < max_side:
         return w, h
     ratio = w / h
     if ratio > 1.0:
-        return max_side, max(1, int(max_side / ratio))
-    return max(1, int(max_side * ratio)), max_side
+        th = int(max_side / ratio)
+        return (max_side, th) if th > 0 else None
+    tw = int(max_side * ratio)
+    return (tw, max_side) if tw > 0 else None
 
 
 def thumbnail_bytes(
@@ -642,7 +649,10 @@ def thumbnail_bytes(
     img = decode_image(data)
     if img is None:
         return None, None, None
-    tw, th = thumbnail_box(img.shape[1], img.shape[0], max_side)
+    box = thumbnail_box(img.shape[1], img.shape[0], max_side)
+    if box is None:  # >max_side:1 aspect — reference's Scalr failure path
+        return None, None, None
+    tw, th = box
     if (tw, th) == (img.shape[1], img.shape[0]):
         return encode_png(img), tw, th
     return encode_png(resize_nearest(img, tw, th)), tw, th
@@ -700,8 +710,10 @@ def decode_image_meta(
     Arrow batch loop (``thumbnail_bytes``: PNG/BMP/baseline-JPEG decode →
     ≤200×200 resample → PNG re-encode), adding ``thumb``/``thumb_width``/
     ``thumb_height`` — the reference's ``imgSrcBase64`` source bytes
-    (``ImageParse.java:89-193``). NULL for containers without a pixel
-    decoder (progressive JPEG, GIF, SVG).
+    (``ImageParse.java:89-193``). gif/svg keep their ORIGINAL payload
+    bytes as the thumb (the reference's capture-pass passthrough,
+    ``ImageParse.java:131-134``); only containers without a pixel
+    decoder (progressive JPEG, WebP) yield NULL.
     """
 
     def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -741,17 +753,25 @@ def thumbnail_dims(width: Column, height: Column, max_side: int = MAX_THUMB_SIDE
     """Reference thumbnail-box arithmetic EXACTLY (``ImageParse.java:
     146-163``): no resize at all unless BOTH dims ≥ max_side (either
     side under the thumb box keeps the original); otherwise fit the
-    aspect box with Java int truncation. Pure built-ins."""
+    aspect box with Java int truncation. Aspect ratios over
+    ``max_side``:1 truncate a dimension to 0 — the reference's Scalr
+    throws there and the thumbnail is dropped, so both dims go NULL
+    (mirror of ``thumbnail_box`` returning None). Pure built-ins."""
     ratio = width.cast("double") / height.cast("double")
     small = (width < max_side) | (height < max_side)
+    wide_fail = ~small & (ratio > 1.0) & (F.floor(F.lit(max_side) / ratio) == 0)
+    tall_fail = ~small & (ratio <= 1.0) & (F.floor(F.lit(max_side) * ratio) == 0)
+    fail = wide_fail | tall_fail
     tw = (
-        F.when(small, width)
+        F.when(fail, F.lit(None).cast("int"))
+        .when(small, width)
         .when(ratio > 1.0, F.lit(max_side))
-        .otherwise(F.greatest(F.floor(F.lit(max_side) * ratio).cast("int"), F.lit(1)))
+        .otherwise(F.floor(F.lit(max_side) * ratio).cast("int"))
     )
     th = (
-        F.when(small, height)
-        .when(ratio > 1.0, F.greatest(F.floor(F.lit(max_side) / ratio).cast("int"), F.lit(1)))
+        F.when(fail, F.lit(None).cast("int"))
+        .when(small, height)
+        .when(ratio > 1.0, F.floor(F.lit(max_side) / ratio).cast("int"))
         .otherwise(F.lit(max_side))
     )
     return tw, th

@@ -88,8 +88,10 @@ def attach_media_meta(
     # with_thumbnails: the REAL pixel path (PNG/BMP/baseline-JPEG decode →
     # ≤200×200 resample → PNG) rides the same Arrow pass, and the output
     # carries `img_src_base64` — the reference's stored-thumbnail field
-    # (`ImageDataSerializer.java:46` imgSrcBase64). NULL for containers
-    # with no pixel decoder (SVG, gif, progressive jpeg).
+    # (`ImageDataSerializer.java:46` imgSrcBase64). gif/svg ride through
+    # with their ORIGINAL bytes (ImageParse.java:131-134 passthrough);
+    # only containers with no pixel decoder (progressive jpeg, webp)
+    # yield NULL.
     thumb_cols = [F.base64(F.col("thumb")).alias("img_src_base64")] if with_thumbnails else []
     meta = MM.decode_image_meta(
         media_df.select(F.col(url_col).alias("img_url"), F.col(payload_col).alias("payload")),

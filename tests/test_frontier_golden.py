@@ -430,8 +430,8 @@ def test_robots_rfc9309_precedence(spark):
 def test_parse_robots_txt_groups_and_wildcards():
     """robots.txt FILE parsing: RFC 9309 group selection (specific agent
     beats *, adjacent user-agent lines share a group), comment/blank
-    handling, wildcard→prefix truncation, $ stripping, empty Disallow
-    dropped, crawl-delay seconds→ms from the winning group only."""
+    handling, wildcard patterns kept verbatim, empty Disallow dropped,
+    crawl-delay seconds→ms from the winning group only."""
     from image_search_indexing_spark.frontier.politeness import parse_robots_txt
 
     txt = """
@@ -452,11 +452,12 @@ User-agent: evilbot
 Disallow: /
 """
     rules, delay = parse_robots_txt(txt, agent="archivebot")
-    # the specific group wins; the * group's /private/ does NOT apply
+    # the specific group wins; the * group's /private/ does NOT apply;
+    # wildcard/$ patterns are preserved verbatim for exact evaluation
     assert rules == [
-        ("disallow", "/img/"),   # /img/*/raw truncated at the first *
-        ("allow", "/img/"),      # tie with the disallow → allow wins downstream
-        ("disallow", "/exact"),  # $ stripped
+        ("disallow", "/img/*/raw"),
+        ("allow", "/img/"),
+        ("disallow", "/exact$"),
     ]
     assert delay == 2500
 
@@ -466,12 +467,85 @@ Disallow: /
     assert parse_robots_txt("", agent="x") == ([], None)
     # no matching group at all (file without *) → no rules
     assert parse_robots_txt("User-agent: a\nDisallow: /x", agent="b") == ([], None)
-    # substring agent match beats *
+    # prefix-of-product-token agent match beats *
     rules3, _ = parse_robots_txt(
         "User-agent: *\nDisallow: /a\nUser-agent: archive\nDisallow: /b",
         agent="archivebot",
     )
     assert rules3 == [("disallow", "/b")]
+    # disallow-all via wildcard survives parsing (was silently dropped)
+    assert parse_robots_txt("User-agent: *\nDisallow: *", agent="x") == (
+        [("disallow", "*")], None
+    )
+    # an EMPTY User-agent: value is malformed and must not hijack group
+    # selection away from the * group
+    rules4, _ = parse_robots_txt(
+        "User-agent:\nDisallow: /a\n\nUser-agent: *\nDisallow: /b", agent="x"
+    )
+    assert rules4 == [("disallow", "/b")]
+    # a longer UA prefix is more specific than a shorter one
+    rules5, _ = parse_robots_txt(
+        "User-agent: arch\nDisallow: /short\nUser-agent: archivebo\nDisallow: /long",
+        agent="archivebot",
+    )
+    assert rules5 == [("disallow", "/long")]
+
+
+def test_robots_wildcard_exact_semantics(spark):
+    """RFC 9309 wildcard rules evaluated EXACTLY (engine + oracle):
+    'Disallow: *' blocks everything; 'Disallow: *.php' blocks only
+    matching paths; '/img/*/raw' outranks a shorter 'Allow: /img/' by
+    pattern length (no truncation tie-flip); trailing $ anchors."""
+    from pyspark.sql import functions as F
+
+    from image_search_indexing_spark.frontier.oracle import FrontierOracle, OracleConfig
+    from image_search_indexing_spark.frontier.politeness import (
+        robots_filter,
+        robots_table_from_txt,
+    )
+
+    files = [
+        ("all.pt", "User-agent: *\nDisallow: *"),
+        ("php.pt", "User-agent: *\nDisallow: *.php"),
+        ("raw.pt", "User-agent: *\nAllow: /img/\nDisallow: /img/*/raw"),
+        ("end.pt", "User-agent: *\nDisallow: /exact$"),
+    ]
+    tbl = robots_table_from_txt(
+        spark.createDataFrame(files, "host string, robots_txt string")
+    )
+    cases = [
+        ("all.pt", "http://all.pt/anything/at/all.png", True),
+        ("php.pt", "http://php.pt/x/page.php", True),
+        ("php.pt", "http://php.pt/x/page.html", False),
+        ("raw.pt", "http://raw.pt/img/a/raw", True),     # /img/*/raw (len 10) > /img/ (5)
+        ("raw.pt", "http://raw.pt/img/a/cooked", False),  # only allow matches
+        ("end.pt", "http://end.pt/exact", True),
+        ("end.pt", "http://end.pt/exactly", False),       # $ anchors the end
+    ]
+    refs = spark.createDataFrame(
+        [(h, u) for h, u, _ in cases], "host string, ref_url string"
+    )
+    got = {
+        (r["host"], r["ref_url"]): r["robots_blocked"]
+        for r in robots_filter(refs, tbl.where(F.col("rule").isNotNull())).collect()
+    }
+    # oracle mirror takes full patterns
+    pats = {
+        "all.pt": [("disallow", "*")],
+        "php.pt": [("disallow", "*.php")],
+        "raw.pt": [("allow", "/img/"), ("disallow", "/img/*/raw")],
+        "end.pt": [("disallow", "/exact$")],
+    }
+    oracle = FrontierOracle(
+        OracleConfig(),
+        robots=[
+            {"host": h, "rule": r, "pattern": p}
+            for h, rs in pats.items() for r, p in rs
+        ],
+    )
+    for h, u, expected in cases:
+        assert got[(h, u)] is expected, (h, u)
+        assert oracle._robots_blocked({"host": h, "ref_url": u}) is expected, (h, u)
 
 
 def test_robots_txt_to_filter_end_to_end(spark):

@@ -316,6 +316,10 @@ def test_thumbnail_bytes_real_resize():
     assert thumbnail_box(400, 300) == (200, 150)
     assert thumbnail_box(300, 400) == (150, 200)
     assert thumbnail_box(10000, 300) == (200, 6)  # int(200/33.33) truncates
+    # >200:1 aspect truncates a dim to 0 — reference's Scalr throws and
+    # the thumbnail is dropped (ADVICE r3): mirrored as None
+    assert thumbnail_box(81000, 400) is None
+    assert thumbnail_box(400, 81000) is None
 
     from image_search_indexing_spark.operators.multimodal import encode_png
 
