@@ -166,9 +166,22 @@ def _asof_nearest_events_orders(spark, sf):
 
 
 def _exact_dup_groups(spark, sf):
+    """A9-analog exact dedup over a corpus with GENUINE duplicates.
+
+    The synthetic documents table has no byte-identical texts, which
+    made this row a vacuous 0-row green (VERDICT r3 §wrong #1). The
+    query therefore dedups a derived corpus: documents ∪ an exact copy
+    of every 50th document re-keyed to doc_id+1_000_000 — deterministic,
+    mirrored verbatim in the oracle SQL, and exercising the full
+    fingerprint → groupBy → HAVING pipeline with non-empty output.
+    """
     from image_search_indexing_spark.operators.dedup import exact_dup_groups
 
-    return exact_dup_groups(_t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
+    dup = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return exact_dup_groups(d.unionByName(dup))
 
 
 def _minhash_lsh_buckets(spark, sf):
@@ -324,8 +337,17 @@ def _hourly_rollup(spark, sf):
 
 
 def _events_anti_orders(spark, sf):
+    """Anti-join with GENUINE orphans (non-vacuous since r4).
+
+    Every event user_id had a matching order in the synthetic data, so
+    the plain anti-join was a vacuous 0-row green (VERDICT r3 §wrong
+    #1). The orders side is now restricted to ``o_custkey % 5 != 0`` —
+    deterministic, mirrored in the oracle SQL — so users ≡0 (mod 5)
+    are real orphans and the anti-join semantics are exercised with
+    non-empty output.
+    """
     ev = _t(spark, sf, "events")
-    orders = _t(spark, sf, "orders")
+    orders = _t(spark, sf, "orders").where(F.col("o_custkey") % 5 != 0)
     return (
         ev.join(orders, ev.user_id == orders.o_custkey, "left_anti")
         .groupBy("event_type")
@@ -438,6 +460,49 @@ def _indexer_media_counters(spark, sf):
     from image_search_indexing_spark.plans.indexer import media_parse_counters
 
     return media_parse_counters(spark, sf)
+
+
+def _media_dims(spark, sf):
+    """BINARY image containers through the oracle gate (r4 — VERDICT r3
+    ask #3): closed-form PNG / BMP / GIF / JPEG payloads with genuine
+    non-ASCII header bytes (sources/mediagen.synthetic_media_binary).
+    Spark PARSES width/height from the actual IHDR / BITMAPINFOHEADER /
+    logical-screen / SOF0 bytes and magic-sniffs the MIME
+    (operators/multimodal.parse_image_dims, sniff_mime — the
+    ``ImageParse.java:116-124`` path), while the oracle knows the
+    generator's ground truth — so any header mis-parse breaks the row.
+    Payload byte-equality is proven via sha256 over ``hex(payload)``
+    (DuckDB's sha256 is VARCHAR-only, so both sides hash the hex
+    transcript of the same bytes). P2 gates and the F10 thumbnail-box
+    arithmetic (incl. the >200:1-aspect NULL failure path) ride along,
+    all value-checked."""
+    from image_search_indexing_spark.operators import multimodal as MM
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_binary
+
+    media = synthetic_media_binary(_t(spark, sf, "documents").select("doc_id"))
+    met = MM.decode_image_meta(media)
+    tw, th = MM.thumbnail_dims(F.col("width"), F.col("height"))
+    parsed = F.col("width").isNotNull() & F.col("height").isNotNull()
+    gate = (
+        F.when(~parsed, F.lit("unparseable"))
+        .when((F.col("width") < MM.MIN_WIDTH) | (F.col("height") < MM.MIN_HEIGHT),
+              F.lit("too_small"))
+        .when(F.col("width").cast("long") * F.col("height") > F.lit(MM.MAX_AREA),
+              F.lit("too_big"))
+        .otherwise(F.lit("pass"))
+    )
+    return met.select(
+        "doc_id",
+        "fmt",
+        F.col("mime_detected").alias("mime"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        "n_bytes",
+        gate.alias("gate"),
+        F.coalesce(F.when(parsed, tw), F.lit(-1)).alias("thumb_w"),
+        F.coalesce(F.when(parsed, th), F.lit(-1)).alias("thumb_h"),
+        F.sha2(F.hex(F.col("payload")), 256).alias("digest"),
+    )
 
 
 def _indexer_full_scalar(spark, sf):
@@ -573,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_full_scalar": _indexer_full_scalar,
         "indexer_counters": _indexer_counters,
         "indexer_media_counters": _indexer_media_counters,
+        "media_dims": _media_dims,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
         "ngram_doc_freq": _ngram_doc_freq,
@@ -1291,6 +1357,77 @@ def oracle_sql() -> dict[str, str]:
         "indexer_compact": _INDEXER_MEDIA_COMPACT_SQL,
         "indexer_counters": _INDEXER_COUNTERS_SQL,
         "indexer_media_counters": _INDEXER_MEDIA_COUNTERS_SQL,
+        # mirror of sources/mediagen.synthetic_media_binary: the oracle
+        # rebuilds the binary payload AS ITS HEX TRANSCRIPT (DuckDB
+        # sha256 is VARCHAR-only) and knows ground-truth dims/mime/gate;
+        # Spark must recover the same values by PARSING the real bytes.
+        "media_dims": """
+WITH d AS (
+  SELECT doc_id, doc_id % 97 AS k, (doc_id % 97) % 11 AS s,
+         (doc_id % 97) % 4 AS rot
+  FROM documents),
+c AS (
+  SELECT doc_id, k, s,
+    CASE WHEN s = 0 THEN 'png' WHEN s = 1 THEN 'gif' WHEN s = 2 THEN 'png'
+         WHEN s = 3 THEN 'bmp'
+         WHEN rot = 0 THEN 'png' WHEN rot = 1 THEN 'bmp'
+         WHEN rot = 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+    CASE WHEN s = 0 THEN 10 WHEN s = 1 THEN 15001 WHEN s = 3 THEN 81000
+         ELSE 16 + (k * 7) % 1200 END AS w,
+    CASE WHEN s = 0 THEN 10 WHEN s = 1 THEN 15001 WHEN s = 3 THEN 400
+         ELSE 16 + (k * 13) % 900 END AS h
+  FROM d),
+hx AS (
+  SELECT *,
+    CASE
+      WHEN s = 2 THEN '89504E470D0A1A0A'
+      WHEN fmt = 'png' THEN '89504E470D0A1A0A0000000D49484452'
+        || printf('%08X', w) || printf('%08X', h)
+        || '080600000000000000' || '0000000049454E44AE426082'
+      WHEN fmt = 'bmp' THEN '424D46000000000000003600000028000000'
+        || printf('%02X%02X%02X%02X', w % 256, (w // 256) % 256,
+                  (w // 65536) % 256, (w // 16777216) % 256)
+        || printf('%02X%02X%02X%02X', h % 256, (h // 256) % 256,
+                  (h // 65536) % 256, (h // 16777216) % 256)
+        || '01001800' || repeat('00', 24)
+      WHEN fmt = 'gif' THEN '474946383961'
+        || printf('%02X%02X', w % 256, (w // 256) % 256)
+        || printf('%02X%02X', h % 256, (h // 256) % 256)
+        || '0000003B'
+      ELSE 'FFD8FFC0001108' || printf('%04X', h) || printf('%04X', w)
+        || '03011100021101031101FFD9'
+    END AS hex_payload,
+    CASE WHEN s = 2 THEN NULL ELSE w END AS pw,
+    CASE WHEN s = 2 THEN NULL ELSE h END AS ph
+  FROM c)
+SELECT doc_id, fmt,
+  CASE WHEN fmt = 'png' THEN 'image/png' WHEN fmt = 'bmp' THEN 'image/bmp'
+       WHEN fmt = 'gif' THEN 'image/gif' ELSE 'image/jpeg' END AS mime,
+  coalesce(pw, -1) AS width, coalesce(ph, -1) AS height,
+  (length(hex_payload) // 2)::INTEGER AS n_bytes,
+  CASE WHEN pw IS NULL THEN 'unparseable'
+       WHEN pw < 51 OR ph < 51 THEN 'too_small'
+       WHEN pw::BIGINT * ph > 225000000 THEN 'too_big'
+       ELSE 'pass' END AS gate,
+  coalesce(CASE
+    WHEN pw IS NULL THEN NULL
+    WHEN pw < 200 OR ph < 200 THEN pw
+    WHEN pw::DOUBLE / ph > 1.0 THEN
+      CASE WHEN floor(200 / (pw::DOUBLE / ph)) = 0 THEN NULL ELSE 200 END
+    ELSE CASE WHEN floor(200 * (pw::DOUBLE / ph)) = 0 THEN NULL
+              ELSE floor(200 * (pw::DOUBLE / ph))::INTEGER END
+  END, -1) AS thumb_w,
+  coalesce(CASE
+    WHEN ph IS NULL THEN NULL
+    WHEN pw < 200 OR ph < 200 THEN ph
+    WHEN pw::DOUBLE / ph > 1.0 THEN
+      CASE WHEN floor(200 / (pw::DOUBLE / ph)) = 0 THEN NULL
+           ELSE floor(200 / (pw::DOUBLE / ph))::INTEGER END
+    ELSE CASE WHEN floor(200 * (pw::DOUBLE / ph)) = 0 THEN NULL ELSE 200 END
+  END, -1) AS thumb_h,
+  sha256(hex_payload) AS digest
+FROM hx
+""",
         "caption_guard": _CAPTION_GUARD_SQL,
         "stratified_sample": """
 SELECT doc_id, lang, n_chars FROM documents
@@ -1438,10 +1575,15 @@ WHERE substr(md5(doc_id::VARCHAR || '|clean'), 1, 8) <
             SELECT event_id, user_id, o_orderkey FROM scored WHERE rn = 1
         """,
         "exact_dup_groups": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 50 = 0)
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS min_doc_id
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
         """,
         "minhash_lsh_buckets": f"""
             WITH tok AS (
@@ -1514,7 +1656,9 @@ WHERE substr(md5(doc_id::VARCHAR || '|clean'), 1, 8) <
         "events_anti_orders": """
             SELECT event_type, count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users
-            FROM events e ANTI JOIN orders o ON e.user_id = o.o_custkey
+            FROM events e ANTI JOIN (
+              SELECT o_custkey FROM orders WHERE o_custkey % 5 != 0) o
+              ON e.user_id = o.o_custkey
             GROUP BY event_type
         """,
         "text_stats": f"""

@@ -74,3 +74,136 @@ def synthetic_media(urls: DataFrame, url_col: str = "url") -> DataFrame:
     return u.where(F.col("__id") % 5 != 4).select(
         "url", body.cast("binary").alias("payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# BINARY closed-form payloads (round 4): real PNG / BMP / GIF / JPEG
+# container bytes, still a pure function of the row key so the DuckDB
+# oracle can rebuild the identical byte stream AS A HEX STRING (DuckDB's
+# ``sha256`` only takes VARCHAR, so digest parity is checked over
+# ``hex(payload)`` — equal hex digests prove the binary payloads match
+# byte-for-byte). The real check rides on dimensions: Spark PARSES
+# width/height out of the actual PNG IHDR / BMP BITMAPINFOHEADER / GIF
+# logical-screen / JPEG SOF0 bytes (operators/multimodal.parse_image_dims)
+# while the oracle knows the generator's ground truth, so a single header
+# mis-parse breaks the row.
+#
+# Fixture classes, k = doc_id % 97, s = k % 11 (mirrored in
+# ``__spark_entry__``'s media_dims SQL):
+#   s = 0: 10×10 PNG        → P2 too-small gate
+#   s = 1: 15001×15001 GIF  → P2 too-large (area) gate
+#   s = 2: truncated PNG (8-byte signature only) → dims unparseable,
+#           MIME still sniffs image/png (magic present)
+#   s = 3: 81000×400 BMP    → passes gates (area 32.4M < 225M); both
+#           dims ≥ 200 with aspect > 200:1, so the thumbnail box
+#           truncates to 0 → NULL thumb dims (the reference's Scalr
+#           failure path, ImageParse.java:146-163)
+#   else:  container rotates k % 4 ∈ {png, bmp, gif, jpeg},
+#           w = 16 + (7k mod 1200), h = 16 + (13k mod 900)
+# ---------------------------------------------------------------------------
+
+
+def _be4(col):  # 2-byte big-endian hex (JPEG/PNG-style network order)
+    return F.format_string("%04X", col.cast("int"))
+
+
+def _be8(col):  # 4-byte big-endian hex
+    return F.format_string("%08X", col.cast("int"))
+
+
+def _le4(col):  # 2-byte little-endian hex (GIF logical screen)
+    c = col.cast("int")
+    return F.format_string("%02X%02X", c % 256, (c / 256).cast("int") % 256)
+
+
+def _le8(col):  # 4-byte little-endian hex (BMP BITMAPINFOHEADER)
+    c = col.cast("int")
+    return F.format_string(
+        "%02X%02X%02X%02X",
+        c % 256,
+        (c / 256).cast("int") % 256,
+        (c / 65536).cast("int") % 256,
+        (c / 16777216).cast("int") % 256,
+    )
+
+
+PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
+def png_hex(w, h):
+    """Minimal valid-shape PNG: signature + IHDR(w,h,8-bit RGBA) + IEND."""
+    return F.concat(
+        F.lit(PNG_SIG_HEX + "0000000D49484452"),
+        _be8(w),
+        _be8(h),
+        F.lit("0806000000" + "00000000" + "0000000049454E44AE426082"),
+    )
+
+
+def bmp_hex(w, h):
+    """BMP with a 40-byte BITMAPINFOHEADER (w/h little-endian at 18/22)."""
+    return F.concat(
+        F.lit("424D" + "46000000" + "00000000" + "36000000" + "28000000"),
+        _le8(w),
+        _le8(h),
+        F.lit("0100" + "1800" + "00" * 24),
+    )
+
+
+def gif_hex(w, h):
+    """GIF89a header: logical-screen w/h little-endian u16 + trailer."""
+    return F.concat(F.lit("474946383961"), _le4(w), _le4(h), F.lit("0000003B"))
+
+
+def jpeg_hex(w, h):
+    """JPEG SOI + SOF0 (baseline) frame header + EOI; height precedes
+    width in SOF, both big-endian u16 (ITU-T T.81 §B.2.2)."""
+    return F.concat(
+        F.lit("FFD8" + "FFC00011" + "08"),
+        _be4(h),
+        _be4(w),
+        F.lit("03" + "011100" + "021101" + "031101" + "FFD9"),
+    )
+
+
+def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, fmt, payload binary)`` — real binary image containers,
+    closed-form from ``doc_id`` (see classes above). ``payload`` is
+    ``unhex`` of the constructed hex, so the downstream parser reads
+    genuine non-ASCII bytes (PNG magic ``\\x89``, 0x00 length fields, …)."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    k = F.col("doc_id") % 97
+    s = k % 11
+    fmt_rot = k % 4
+    w = (
+        F.when(s == 0, F.lit(10))
+        .when(s == 1, F.lit(15001))
+        .when(s == 3, F.lit(81000))
+        .otherwise((F.lit(16) + (k * 7) % 1200).cast("int"))
+    )
+    h = (
+        F.when(s == 0, F.lit(10))
+        .when(s == 1, F.lit(15001))
+        .when(s == 3, F.lit(400))
+        .otherwise((F.lit(16) + (k * 13) % 900).cast("int"))
+    )
+    fmt = (
+        F.when(s == 0, F.lit("png"))
+        .when(s == 1, F.lit("gif"))
+        .when(s == 2, F.lit("png"))
+        .when(s == 3, F.lit("bmp"))
+        .when(fmt_rot == 0, F.lit("png"))
+        .when(fmt_rot == 1, F.lit("bmp"))
+        .when(fmt_rot == 2, F.lit("gif"))
+        .otherwise(F.lit("jpeg"))
+    )
+    hx = (
+        F.when(s == 2, F.lit(PNG_SIG_HEX))
+        .when(fmt == "png", png_hex(w, h))
+        .when(fmt == "bmp", bmp_hex(w, h))
+        .when(fmt == "gif", gif_hex(w, h))
+        .otherwise(jpeg_hex(w, h))
+    )
+    return d.select(
+        "doc_id", fmt.alias("fmt"), F.unhex(hx).alias("payload")
+    )

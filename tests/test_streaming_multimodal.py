@@ -296,3 +296,48 @@ def test_ann_shuffle_join_matches_broadcast(spark):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
         assert "ResolvedHint" in a._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in b._jdf.queryExecution().analyzed().toString()
+
+
+def test_synthetic_media_binary_roundtrip(spark):
+    """Binary closed-form payloads (r4): every generated PNG/BMP/GIF/JPEG
+    container must (a) sniff to its real MIME from magic bytes, (b)
+    header-parse to the generator's ground-truth dims, (c) reproduce the
+    documented fixture classes (tiny/huge/truncated/extreme-aspect)."""
+    from image_search_indexing_spark.operators.multimodal import (
+        parse_image_dims,
+        sniff_mime,
+    )
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_binary
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    rows = synthetic_media_binary(docs).collect()
+    assert len(rows) == 300
+    mimes = {"png": "image/png", "bmp": "image/bmp", "gif": "image/gif",
+             "jpeg": "image/jpeg"}
+    seen_classes = set()
+    for r in rows:
+        k = r["doc_id"] % 97
+        s = k % 11
+        data = bytes(r["payload"])
+        assert sniff_mime(data) == mimes[r["fmt"]], (r["doc_id"], r["fmt"])
+        w, h = parse_image_dims(data)
+        if s == 2:
+            assert (w, h) == (None, None)  # truncated: magic only
+            seen_classes.add("truncated")
+        elif s == 0:
+            assert (w, h) == (10, 10)
+            seen_classes.add("tiny")
+        elif s == 1:
+            assert (w, h) == (15001, 15001)
+            seen_classes.add("huge")
+        elif s == 3:
+            assert (w, h) == (81000, 400)  # >200:1 aspect, gates pass
+            seen_classes.add("aspect")
+        else:
+            assert (w, h) == (16 + (k * 7) % 1200, 16 + (k * 13) % 900)
+    assert seen_classes == {"truncated", "tiny", "huge", "aspect"}
+    # identical k ⇒ identical bytes (content key coarser than doc_id):
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r["doc_id"] % 97, set()).add(bytes(r["payload"]))
+    assert all(len(v) == 1 for v in by_k.values())
