@@ -26,14 +26,16 @@ What is REAL as well (stdlib-only, no imaging library):
   ``audio_rms_db`` — real DSP, exact durations from sample counts);
 - ISO-BMFF (MP4) box-walk metadata: real duration/track count from
   ``mvhd``/``trak`` (``parse_mp4_meta``) driving a real frame-sample
-  timeline.
+  timeline;
+- GIF pixel decode (``decode_gif``: full LZW sub-block decompression,
+  global/local color tables, 4-pass interlace; first frame of animated
+  streams — ImageIO ``read(0)`` semantics).
 
-What is STUBBED (this container has no PIL/torchaudio/pyav): progressive
-JPEG, GIF/WEBP pixel decode (header dims still real; the reference skips
-gif thumbnails anyway), compressed-audio DSP (mp3/ogg/flac), video frame
-PIXEL decode. Those kernels are deterministic stand-ins behind the exact
-Arrow batch shape a real decoder would use — swap the body for the
-library call and nothing else changes.
+What is STUBBED (this container has no PIL/torchaudio/pyav): WEBP pixel
+decode (header dims still real), compressed-audio DSP (mp3/ogg/flac),
+video frame PIXEL decode. Those kernels are deterministic stand-ins
+behind the exact Arrow batch shape a real decoder would use — swap the
+body for the library call and nothing else changes.
 """
 
 from __future__ import annotations
@@ -345,6 +347,121 @@ def decode_bmp(data: bytes | None) -> np.ndarray | None:
         return None
 
 
+# --- GIF (GIF87a/89a, LZW) --------------------------------------------------
+
+
+def _gif_lzw_decode(comp: bytes, min_code_size: int, npix: int) -> list[int] | None:
+    """GIF-variant LZW (GIF89a spec appendix F): LSB-first bit packing,
+    CLEAR/END codes, code width grows when the dictionary fills 2^width
+    (capped at 12 bits). Returns the palette-index stream or None on a
+    corrupt code."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    buf = nbits = pos = 0
+    while len(out) < npix:
+        while nbits < code_size:
+            if pos >= len(comp):
+                return out if out else None  # truncated stream: best effort
+            buf |= comp[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace rows, spec §23
+
+
+def decode_gif(data: bytes | None) -> np.ndarray | None:
+    """REAL GIF pixel decode (first frame) → (h, w, 3) uint8 RGB: logical
+    screen + global/local color table, full LZW sub-block decompression,
+    4-pass interlace reordering. Animated GIFs yield frame 1 (the
+    reference's ImageIO ``read(0)`` behavior); malformed streams → None."""
+    if data is None or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        packed = data[10]
+        pos, gct = 13, None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+                ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+                ipacked = data[pos + 9]
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 7)
+                    pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                    pos += 3 * n
+                if pal is None or iw == 0 or ih == 0:
+                    return None
+                min_sz = data[pos]
+                pos += 1
+                comp = bytearray()
+                while pos < len(data) and data[pos] != 0:
+                    ln = data[pos]
+                    comp += data[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _gif_lzw_decode(bytes(comp), min_sz, iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                ind = np.minimum(
+                    np.asarray(idx[: iw * ih], dtype=np.int64), len(pal) - 1
+                )
+                arr = pal[ind].reshape(ih, iw, 3)
+                if ipacked & 0x40:  # interlaced: stored rows are in pass order
+                    dest = np.concatenate(
+                        [np.arange(start, ih, step) for start, step in _GIF_PASSES]
+                    )
+                    out = np.empty_like(arr)
+                    out[dest] = arr
+                    arr = out
+                return np.ascontiguousarray(arr)
+            elif b == 0x3B:  # trailer
+                break
+            else:
+                return None
+        return None
+    except Exception:
+        return None
+
+
 # --- baseline JPEG (ITU-T T.81 sequential DCT) ------------------------------
 
 _ZIGZAG = np.array(
@@ -438,12 +555,19 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes | None) -> np.ndarray | None:
-    """REAL baseline JPEG decode (ITU-T T.81 sequential DCT, the format
-    ``ImageParse.java`` overwhelmingly sees): segment parse (DQT/DHT/
-    SOF0-1/DRI/SOS), canonical Huffman entropy decode with byte
-    unstuffing and restart markers, dequant + inverse zigzag, orthonormal
-    IDCT, nearest chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
-    YCbCr→RGB. Progressive (SOF2) and arithmetic coding → None."""
+    """REAL JPEG decode (ITU-T T.81), baseline AND progressive:
+
+    - sequential DCT (SOF0/1): segment parse (DQT/DHT/DRI/SOS), canonical
+      Huffman entropy decode with byte unstuffing and restart markers,
+      dequant + inverse zigzag, orthonormal IDCT, nearest chroma
+      upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB;
+    - progressive DCT (SOF2, T.81 Annex G — r4): multi-scan coefficient
+      accumulation with spectral selection (Ss..Se bands, interleaved DC
+      / non-interleaved AC scans) and successive approximation (DC
+      first/refine, AC first with EOB runs, AC refinement correction
+      bits), then one shared dequant + IDCT reconstruction.
+
+    Arithmetic coding and lossless/hierarchical modes → None."""
     if data is None or data[:3] != b"\xff\xd8\xff":
         return None
     try:
@@ -452,6 +576,8 @@ def decode_jpeg(data: bytes | None) -> np.ndarray | None:
         comps = None
         w = h = 0
         dri = 0
+        progressive = False
+        coefs = geom = None  # per-component zigzag coefficient grids
         i = 2
         while i + 4 <= len(data):
             if data[i] != 0xFF:
@@ -488,7 +614,8 @@ def decode_jpeg(data: bytes | None) -> np.ndarray | None:
                             code += 1
                         code <<= 1
                     huff[(tc, th)] = table
-            elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+            elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+                progressive = m == 0xC2
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nc = body[5]
@@ -496,8 +623,8 @@ def decode_jpeg(data: bytes | None) -> np.ndarray | None:
                 for c in range(nc):
                     cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # arithmetic / lossless / hierarchical
             elif m == 0xDD:  # DRI
                 dri = int.from_bytes(body[0:2], "big")
             elif m == 0xDA:  # SOS
@@ -507,15 +634,209 @@ def decode_jpeg(data: bytes | None) -> np.ndarray | None:
                     sel[body[1 + 2 * c]] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
                 if comps is None or w == 0 or h == 0:
                     return None
-                for comp in comps:
-                    comp["dc"], comp["ac"] = sel[comp["id"]]
-                return _jpeg_scan(data, i + 2 + seg, w, h, comps, qt, huff, dri)
+                if not progressive:
+                    for comp in comps:
+                        comp["dc"], comp["ac"] = sel[comp["id"]]
+                    return _jpeg_scan(data, i + 2 + seg, w, h, comps, qt, huff, dri)
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahl = body[3 + 2 * ns]
+                # T.81 §G.1: DC scans are exactly (0,0); AC scans are
+                # single-component bands inside 1..63
+                if (ss == 0 and se != 0) or (ss > 0 and (ns != 1 or se < ss or se > 63)):
+                    return None
+                if geom is None:
+                    geom = _jpeg_geometry(w, h, comps)
+                    coefs = [
+                        np.zeros((g["bh_pad"], g["bw_pad"], 64), np.int32)
+                        for g in geom
+                    ]
+                i = _jpeg_progressive_scan(
+                    data, i + 2 + seg, comps, geom, coefs, huff, dri,
+                    sel, ss, se, ahl >> 4, ahl & 15,
+                )
+                continue
             elif m == 0xD9:
                 break
             i += 2 + seg
+        if progressive and coefs is not None:
+            return _jpeg_reconstruct(w, h, comps, geom, coefs, qt)
         return None
     except Exception:
         return None
+
+
+def _jpeg_geometry(w: int, h: int, comps: list) -> list[dict]:
+    """Per-component block geometry: actual data-unit grid (``bw``/``bh``
+    — what non-interleaved scans code, T.81 §A.2.2) and the MCU-padded
+    grid (``bw_pad``/``bh_pad`` — what interleaved scans code)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    out = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        out.append(
+            {
+                "mx": mx, "my": my, "hmax": hmax, "vmax": vmax,
+                "bw": -(-cw // 8), "bh": -(-ch // 8),
+                "bw_pad": mx * c["h"], "bh_pad": my * c["v"],
+            }
+        )
+    return out
+
+
+def _ac_first_block(br, ach, cf, ss, se, al, eobrun) -> int:
+    """Progressive AC initial scan for one block band (T.81 G.1.2.2):
+    EOB-run accumulation, ZRL, point-transformed coefficients."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ach)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)+bits(r) all-done blocks
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1  # current block is the first of the run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            break
+        cf[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, ach, cf, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block band (T.81 G.1.2.3):
+    correction bits for already-nonzero coefficients, newly-nonzero
+    ±2^Al placements with zero-history run lengths, EOB-run handling.
+    Bitwise arithmetic mirrors the spec's two's-complement semantics
+    (Python ints are two's-complement for ``&``/``|``)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ach)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOB: finish this block via the tail below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: r stays 15 → skip 16 zero-history positions
+            else:
+                val = p1 if br.bits(1) else -p1
+            while k <= se:
+                if cf[k] != 0:
+                    if br.bits(1) and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # remaining correction bits of the current block
+            if cf[k] != 0:
+                if br.bits(1) and (cf[k] & p1) == 0:
+                    cf[k] += p1 if cf[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    data, pos, comps, geom, coefs, huff, dri, sel, ss, se, ah, al
+) -> int:
+    """Decode one progressive SOS segment into the coefficient grids and
+    return the byte offset of the next marker. Interleaved (multi-
+    component, DC only) scans walk MCUs; single-component scans walk the
+    component's own data-unit grid (T.81 §G.1.1)."""
+    br = _BitReader(data, pos)
+    scomp = [ci for ci, c in enumerate(comps) if c["id"] in sel]
+    eobrun = 0
+    pred = dict.fromkeys(scomp, 0)
+    n_unit = 0
+    if len(scomp) == 1:
+        ci = scomp[0]
+        c, g, cf = comps[ci], geom[ci], coefs[ci]
+        dch = huff.get((0, sel[c["id"]][0]))
+        ach = huff.get((1, sel[c["id"]][1]))
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                if dri and n_unit and n_unit % dri == 0:
+                    br.restart()
+                    pred[ci], eobrun = 0, 0
+                n_unit += 1
+                blk = cf[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        t = _huff_decode(br, dch)
+                        pred[ci] += _extend(br.bits(t), t)
+                        blk[0] = pred[ci] << al
+                    elif br.bits(1):
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first_block(br, ach, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, ach, blk, ss, se, al, eobrun)
+    else:  # interleaved: spec restricts to DC scans (ss == 0)
+        g0 = geom[scomp[0]]
+        for yy in range(g0["my"]):
+            for xx in range(g0["mx"]):
+                if dri and n_unit and n_unit % dri == 0:
+                    br.restart()
+                    pred = dict.fromkeys(scomp, 0)
+                n_unit += 1
+                for ci in scomp:
+                    c = comps[ci]
+                    dch = huff.get((0, sel[c["id"]][0]))
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            blk = coefs[ci][yy * c["v"] + byy, xx * c["h"] + bxx]
+                            if ah == 0:
+                                t = _huff_decode(br, dch)
+                                pred[ci] += _extend(br.bits(t), t)
+                                blk[0] = pred[ci] << al
+                            elif br.bits(1):
+                                blk[0] |= 1 << al
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _jpeg_reconstruct(w, h, comps, geom, coefs, qt) -> np.ndarray:
+    """Shared progressive finish: dequant + inverse zigzag + vectorized
+    orthonormal IDCT per coefficient grid, upsample, color convert."""
+    zz, M = _ZIGZAG, _DCT_M
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for ci, c in enumerate(comps):
+        cfq = coefs[ci].astype(np.float64) * qt[c["tq"]][None, None, :]
+        blk = np.zeros_like(cfq)
+        blk[:, :, zz] = cfq
+        bh, bw = blk.shape[:2]
+        b8 = blk.reshape(bh, bw, 8, 8)
+        spat = np.einsum("ij,abjk,kl->abil", M.T, b8, M) + 128.0
+        plane = spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        out.append(plane[:h, :w])
+    return _jpeg_color(out)
 
 
 def _jpeg_scan(data, pos, w, h, comps, qt, huff, dri) -> np.ndarray | None:
@@ -572,6 +893,11 @@ def _jpeg_scan(data, pos, w, h, comps, qt, huff, dri) -> np.ndarray | None:
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         out.append(p[:h, :w])
+    return _jpeg_color(out)
+
+
+def _jpeg_color(out: list[np.ndarray]) -> np.ndarray:
+    """Grayscale replicate / JFIF YCbCr→RGB, clip+round to uint8."""
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
@@ -583,10 +909,13 @@ def _jpeg_scan(data, pos, w, h, comps, qt, huff, dri) -> np.ndarray | None:
 
 
 def decode_image(data: bytes | None) -> np.ndarray | None:
-    """Dispatch pixel decode by magic bytes. PNG, BMP and baseline JPEG
-    are REAL; progressive JPEG and GIF/WEBP return None here — their
-    header dims still flow through ``parse_image_dims`` (the declared
-    no-imaging-libs accommodation; the reference skips gif thumbnails)."""
+    """Dispatch pixel decode by magic bytes. PNG, BMP, GIF (LZW) and
+    JPEG (baseline AND progressive) are REAL; WEBP returns None here —
+    its header dims still flow through ``parse_image_dims`` (the
+    declared no-imaging-libs accommodation). Note the thumbnail path
+    intercepts gif/svg BEFORE this dispatch (original-bytes passthrough,
+    ``ImageParse.java:131-134``) — ``decode_gif`` serves pixel-level
+    consumers (feature extraction, visual near-dup)."""
     if data is None:
         return None
     if data[:8] == _PNG_SIG:
@@ -595,6 +924,8 @@ def decode_image(data: bytes | None) -> np.ndarray | None:
         return decode_bmp(data)
     if data[:3] == b"\xff\xd8\xff":
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     return None
 
 
@@ -640,7 +971,7 @@ def thumbnail_bytes(
       re-encode is always PNG (the one real encoder in this sandbox).
 
     Returns (bytes, w, h) or (None,)*3 when the container has no real
-    decoder here (progressive JPEG, webp)."""
+    decoder here (webp) or the stream is malformed."""
     if data is not None:
         mime = sniff_mime(bytes(data))
         if mime == "image/gif" or (mime or "").endswith("svg+xml"):
@@ -713,7 +1044,7 @@ def decode_image_meta(
     (``ImageParse.java:89-193``). gif/svg keep their ORIGINAL payload
     bytes as the thumb (the reference's capture-pass passthrough,
     ``ImageParse.java:131-134``); only containers without a pixel
-    decoder (progressive JPEG, WebP) yield NULL.
+    decoder (WebP) or malformed streams yield NULL.
     """
 
     def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -90,8 +90,7 @@ def attach_media_meta(
     # carries `img_src_base64` — the reference's stored-thumbnail field
     # (`ImageDataSerializer.java:46` imgSrcBase64). gif/svg ride through
     # with their ORIGINAL bytes (ImageParse.java:131-134 passthrough);
-    # only containers with no pixel decoder (progressive jpeg, webp)
-    # yield NULL.
+    # only containers with no pixel decoder (webp) yield NULL.
     thumb_cols = [F.base64(F.col("thumb")).alias("img_src_base64")] if with_thumbnails else []
     meta = MM.decode_image_meta(
         media_df.select(F.col(url_col).alias("img_url"), F.col(payload_col).alias("payload")),

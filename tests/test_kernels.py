@@ -594,7 +594,8 @@ def test_jpeg_roundtrip_and_thumbnail():
     thumb, tw, th = thumbnail_bytes(_enc_jpeg(big, quality=92))
     assert thumb is not None and (tw, th) == (56, 40)  # under box: same dims
 
-    # progressive (SOF2) is a declared None
+    # SOF2 with a baseline-shaped scan (Ss=0, Se=63) is MALFORMED
+    # progressive (T.81 §G.1: DC scans are exactly (0,0)) → None
     prog = _enc_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
 
@@ -715,3 +716,419 @@ def test_webp_dims_real():
     assert parse_image_dims(vp8) == (1024, 768)
 
     assert parse_image_dims(riff([(b"JUNK", b"xx")])) == (None, None)
+
+
+# --- GIF decode (r4): spec-faithful encoder lives in the test so the ---------
+# --- decoder is checked against independently-constructed streams    ---------
+
+def _gif_lzw_encode(indices, min_sz):
+    """Real compressing GIF-LZW encoder (spec appendix F), written against
+    the GIF89a spec — NOT against the decoder — so round-trips check both.
+    Tracks the DECODER's table growth for code-width changes (the decoder
+    widens when its table reaches 2^width after an append)."""
+    clear, end = 1 << min_sz, (1 << min_sz) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_sz + 1
+    dec_len = clear + 2
+    n_since_clear = 0
+    bitbuf = bits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal bitbuf, bits, dec_len, code_size, n_since_clear
+        bitbuf |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bits -= 8
+        if code != clear and code != end:
+            n_since_clear += 1
+            if n_since_clear >= 2:  # decoder appends from the 2nd code on
+                dec_len += 1
+                if dec_len == (1 << code_size) and code_size < 12:
+                    code_size += 1
+
+    emit(clear)
+    prev = ()
+    for px in indices:
+        cur = prev + (int(px),)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        prev = (int(px),)
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if bits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(pal, indices, w, h, interlaced=False, local_palette=False,
+              n_frames=1, frame2_color=0):
+    """Assemble a complete GIF89a byte stream from palette + index rows."""
+    import numpy as np
+
+    n = len(pal)
+    bits_needed = max(2, (n - 1).bit_length())
+    pal_size_field = bits_needed - 1
+    padded = list(pal) + [(0, 0, 0)] * ((1 << bits_needed) - n)
+    pal_bytes = bytes(c for rgb in padded for c in rgb)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_palette:
+        out += bytes([0x00, 0, 0])  # no GCT
+    else:
+        out += bytes([0x80 | pal_size_field, 0, 0])
+        out += pal_bytes
+    for frame in range(n_frames):
+        idx = indices if frame == 0 else [frame2_color] * (w * h)
+        if interlaced and frame == 0:  # store rows in pass order
+            arr = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for r in range(s, h, st)]
+            idx = arr[order].reshape(-1).tolist()
+        out += b"\x2C" + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        flags = 0x40 if (interlaced and frame == 0) else 0
+        if local_palette:
+            flags |= 0x80 | pal_size_field
+        out.append(flags)
+        if local_palette:
+            out += pal_bytes
+        min_sz = max(2, bits_needed)
+        out.append(min_sz)
+        comp = _gif_lzw_encode(idx, min_sz)
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip():
+    """decode_gif vs an independent spec-written encoder: random pixels
+    (dict growth through several width bumps), repeated runs (KwKwK),
+    interlace reordering, local color table, animated first-frame."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        parse_image_dims,
+    )
+
+    rng = np.random.RandomState(7)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+           (0, 255, 255), (255, 0, 255), (17, 34, 51), (204, 221, 238)]
+    w, h = 23, 17
+    idx = rng.randint(0, 8, size=w * h)
+    expect = np.array(pal, np.uint8)[idx].reshape(h, w, 3)
+
+    plain = _make_gif(pal, idx.tolist(), w, h)
+    assert parse_image_dims(plain) == (w, h)
+    got = decode_gif(plain)
+    assert got is not None and np.array_equal(got, expect)
+    assert np.array_equal(decode_image(plain), expect)  # dispatch
+
+    # long runs: compressed stream uses multi-pixel dict entries + KwKwK
+    runs = ([0] * 97 + [1] * 61 + [0, 1, 0, 1] * 40 + [2] * 33)[: w * h]
+    runs += [3] * (w * h - len(runs))
+    expect_runs = np.array(pal, np.uint8)[np.asarray(runs)].reshape(h, w, 3)
+    assert np.array_equal(decode_gif(_make_gif(pal, runs, w, h)), expect_runs)
+
+    # interlaced storage must reorder back to display order
+    inter = _make_gif(pal, idx.tolist(), w, h, interlaced=True)
+    assert np.array_equal(decode_gif(inter), expect)
+
+    # local color table (no GCT at all)
+    local = _make_gif(pal, idx.tolist(), w, h, local_palette=True)
+    assert np.array_equal(decode_gif(local), expect)
+
+    # two frames: ImageIO read(0) semantics — first frame wins
+    anim = _make_gif(pal, idx.tolist(), w, h, n_frames=2, frame2_color=5)
+    assert np.array_equal(decode_gif(anim), expect)
+
+    # malformed: truncated mid-image, bogus block introducer
+    assert decode_gif(plain[:20]) is None
+    assert decode_gif(b"GIF89a" + b"\x00" * 20) is None
+
+
+# --- progressive JPEG (r4): independent spec-written encoder -----------------
+
+def _quant_blocks(rgb, quality):
+    """Quantized zigzag coefficient grids per component (4:4:4), same
+    block math as _enc_jpeg so sequential and progressive fixtures carry
+    IDENTICAL coefficients."""
+    from image_search_indexing_spark.operators.multimodal import _DCT_M, _ZIGZAG
+
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qts = [np.clip((q * s + 50) // 100, 1, 255).astype(np.int32) for q in (_QL, _QC)]
+    M, zz = _DCT_M, _ZIGZAG
+    bh, bw = -(-h // 8), -(-w // 8)
+    grids = [np.zeros((bh, bw, 64), np.int64) for _ in range(3)]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                p = planes[ci]
+                blk = np.zeros((8, 8))
+                ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
+                blk[:ys, :xs] = p[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+                blk[:ys, xs:] = blk[:ys, xs - 1 : xs]
+                blk[ys:, :] = blk[ys - 1 : ys, :]
+                Fc = M @ (blk - 128.0) @ M.T
+                q = qts[0 if ci == 0 else 1].reshape(8, 8)
+                grids[ci][by, bx] = np.round(Fc / q).astype(np.int64).ravel()[zz]
+    return grids, qts
+
+
+class _ProgWriter(_BitWriter):
+    """Bit writer + flat-table Huffman emit + EOB-run/correction-bit
+    buffering for progressive AC scans."""
+
+    DC = {v: (v, 4) for v in range(12)}
+    AC_SYMS = sorted((r << 4) | s for r in range(16) for s in range(11))
+    AC = {sym: (i, 8) for i, sym in enumerate(AC_SYMS)}
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        # TWO correction-bit buffers, mirroring libjpeg's BR/BE split:
+        # `pending` = current block's bits since the last symbol (ride
+        # after the next symbol+sign); `eob_bits` = bits rolled into the
+        # deferred EOB run at block ends (ride after the EOB symbol).
+        self.pending = []
+        self.eob_bits = []
+
+    def sym_dc(self, v):
+        self.put(*self.DC[v])
+
+    def sym_ac(self, v):
+        self.put(*self.AC[v])
+
+    def flush_pending(self):
+        # buffered correction bits ride AFTER a symbol (and its sign /
+        # EOB-run extra bits) — T.81 G.1.2.3 "buffered bits"
+        for bit in self.pending:
+            self.put(bit, 1)
+        self.pending = []
+
+    def defer_eob(self):
+        # block ends inside an EOB run: its leftover correction bits
+        # belong to THAT EOB (decoder reads them in its tail crossing)
+        self.eobrun += 1
+        self.eob_bits += self.pending
+        self.pending = []
+
+    def flush_eobrun(self):
+        # eobrun == 0 is a no-op: any pending correction bits simply
+        # ride the next emitted symbol
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym_ac(r << 4)
+            if r:
+                self.put(self.eobrun - (1 << r), r)
+            for bit in self.eob_bits:
+                self.put(bit, 1)
+            self.eob_bits = []
+            self.eobrun = 0
+
+
+def _enc_jpeg_progressive(rgb, quality=92, bands=((1, 5), (6, 63))):
+    """Independent progressive JPEG encoder (T.81 Annex G, 4:4:4):
+    DC first (Al=1) interleaved → AC first scans per component/band
+    (Al=1, EOB runs) → DC refine (Ah=1) → AC refine scans (Ah=1,
+    correction bits). Written against the spec, not the decoder."""
+    h, w = rgb.shape[:2]
+    grids, qts = _quant_blocks(rgb, quality)
+    bh, bw = grids[0].shape[:2]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    from image_search_indexing_spark.operators.multimodal import _ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    for t, q in enumerate(qts):
+        out += seg(0xDB, bytes([t]) + bytes(q[_ZIGZAG].astype(np.uint8).tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for c in range(3):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dht_dc = bytes(dc_counts) + bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[7] = len(_ProgWriter.AC_SYMS)
+    dht_ac = bytes(ac_counts) + bytes(_ProgWriter.AC_SYMS)
+    out += seg(0xC4, bytes([0x00]) + dht_dc) + seg(0xC4, bytes([0x01]) + dht_dc)
+    out += seg(0xC4, bytes([0x10]) + dht_ac) + seg(0xC4, bytes([0x11]) + dht_ac)
+
+    def sos(comps_sel, ss, se, ah, al):
+        body = bytes([len(comps_sel)])
+        for cid, dct, act in comps_sel:
+            body += bytes([cid, (dct << 4) | act])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    wtr = _ProgWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                v = int(grids[ci][by, bx, 0]) >> 1
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _cat(diff)
+                wtr.sym_dc(t)
+                if t:
+                    wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += wtr.out
+
+    # scans 2..: AC first per component/band, Al=1
+    for ci in range(3):
+        for ss, se in bands if ci == 0 else ((1, 63),):
+            out += sos([(ci + 1, 0, 1)], ss, se, 0, 1)
+            wtr = _ProgWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    cf = grids[ci][by, bx]
+                    run, wrote = 0, False
+                    for k in range(ss, se + 1):
+                        v = int(cf[k])
+                        va = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                        if va == 0:
+                            run += 1
+                            continue
+                        wtr.flush_eobrun()
+                        while run > 15:
+                            wtr.sym_ac(0xF0)
+                            run -= 16
+                        s = _cat(va)
+                        wtr.sym_ac((run << 4) | s)
+                        wtr.put(va if va >= 0 else va + (1 << s) - 1, s)
+                        run, wrote = 0, True
+                    if run or not wrote:
+                        wtr.defer_eob()
+                        if wtr.eobrun == 0x7FFE:
+                            wtr.flush_eobrun()
+            wtr.flush_eobrun()
+            wtr.flush()
+            out += wtr.out
+
+    # DC refine: Ah=1, Al=0, interleaved — one raw bit per block
+    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0)
+    wtr = _ProgWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                wtr.put(int(grids[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # AC refine per component/band: Ah=1, Al=0
+    for ci in range(3):
+        for ss, se in bands if ci == 0 else ((1, 63),):
+            out += sos([(ci + 1, 0, 1)], ss, se, 1, 0)
+            wtr = _ProgWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    cf = grids[ci][by, bx]
+                    run, emitted = 0, False
+                    for k in range(ss, se + 1):
+                        v = int(cf[k])
+                        ab = abs(v)
+                        if ab == 0:
+                            run += 1
+                            continue
+                        # ZRLs are emitted EAGERLY at any nonzero (history
+                        # included) so every buffered correction bit lies
+                        # within the crossing span of the symbol it rides
+                        # (libjpeg encode_mcu_AC_refine ordering)
+                        if run > 15:
+                            wtr.flush_eobrun()
+                            while run > 15:
+                                wtr.sym_ac(0xF0)
+                                wtr.flush_pending()
+                                run -= 16
+                            emitted = True
+                        if ab > 1:  # history nonzero: correction bit
+                            wtr.pending.append(ab & 1)
+                            continue
+                        # newly nonzero at this precision
+                        wtr.flush_eobrun()
+                        wtr.sym_ac((run << 4) | 1)
+                        wtr.put(1 if v > 0 else 0, 1)
+                        wtr.flush_pending()
+                        run, emitted = 0, True
+                    if run or wtr.pending or not emitted:
+                        wtr.defer_eob()
+                        if wtr.eobrun == 0x7FFE:
+                            wtr.flush_eobrun()
+            wtr.flush_eobrun()
+            wtr.flush()
+            out += wtr.out
+
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_decode():
+    """Progressive (SOF2) decode: a spec-written multi-scan encoder
+    (spectral selection + successive approximation for DC and AC) must
+    reconstruct pixels IDENTICAL to the baseline encoding of the same
+    quantized coefficients, and close to the source image."""
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        parse_image_dims,
+        sniff_mime,
+        thumbnail_bytes,
+    )
+
+    y, x = np.mgrid[0:37, 0:52]  # non-multiple-of-8 dims
+    img = np.stack(
+        [
+            128 + 100 * np.sin(x / 16.0),
+            128 + 90 * np.cos(y / 13.0),
+            128 + 70 * np.sin((x + 2 * y) / 21.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+    prog = _enc_jpeg_progressive(img, quality=90)
+    base = _enc_jpeg(img, quality=90)
+    assert sniff_mime(prog) == "image/jpeg"
+    assert parse_image_dims(prog) == (52, 37)
+
+    got_p = decode_jpeg(prog)
+    got_b = decode_jpeg(base)
+    assert got_p is not None and got_p.shape == img.shape
+    # identical coefficients ⇒ bit-identical reconstruction
+    assert np.array_equal(got_p, got_b)
+    err = np.abs(got_p.astype(np.int32) - img.astype(np.int32))
+    assert err.mean() < 4.0 and err.max() < 40, (err.mean(), err.max())
+
+    # dispatch + thumbnail path now cover progressive
+    assert np.array_equal(decode_image(prog), got_p)
+    thumb, tw, th = thumbnail_bytes(prog)
+    assert thumb is not None and (tw, th) == (52, 37)
+
+    # single band (1,63) and an odd band split must agree
+    alt = _enc_jpeg_progressive(img, quality=90, bands=((1, 1), (2, 17), (18, 63)))
+    assert np.array_equal(decode_jpeg(alt), got_p)
