@@ -313,6 +313,20 @@ def _simhash_pairs(spark, sf):
     return simhash_candidate_pairs(_t(spark, sf, "documents"), max_hamming=20)
 
 
+def _simhash_pairs_xx(spark, sf):
+    """PRODUCTION pair-emitting SimHash: identical plan shape and pair
+    contract to ``simhash_pairs`` but with xxhash64 token hashing over
+    63 bits — the hash a 100 TB run would use (cheaper, JVM-native).
+    xxhash64 has no DuckDB equivalent, so this rows-only query rides the
+    md5 twin's oracle-proven contract (pinned equivalent by
+    ``test_simhash_pair_contract_md5_vs_xx``)."""
+    from image_search_indexing_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        _t(spark, sf, "documents"), bits=63, max_hamming=21, token_hash="xxhash64"
+    )
+
+
 def _token_estimates(spark, sf):
     from image_search_indexing_spark.functions import text as TX
 
@@ -622,6 +636,59 @@ def _clean_corpus(spark, sf):
     return samp.select("doc_id", "lang_pred", "quality")
 
 
+def _clean_corpus_neardup(spark, sf):
+    """clean_corpus + a WINNOWING near-dup stage (VERDICT r3 ask #7):
+    quality/language gate → exact-dedup champion → winnow-fingerprint
+    near-dup drop → deterministic per-language sample.
+
+    The near-dup stage explodes each champion's winnow fingerprint set
+    (Schleimer et al. SIGMOD'03, k=16/w=16) and drops any champion
+    sharing ≥ 5 fingerprints with a LOWER-id champion — pairs stream out
+    of the fingerprint equi-join (no per-bucket arrays; the MOSS index
+    shape, scalable like the pair-emitting LSH variants). Fingerprints
+    are computed only for champions, AFTER the window, so the champion
+    shuffle carries scalars. The corpus is seeded with suffix-modified
+    copies of every 40th document (re-keyed +2_000_000) so the stage has
+    GENUINE near-dups to drop — exact dedup cannot catch them (different
+    md5), the winnow overlap does. Mirrored verbatim in the oracle."""
+    from image_search_indexing_spark.functions import text as TX
+    from image_search_indexing_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mod = d.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" and the winnowing copy differs here")).alias("text"),
+    )
+    corpus = d.unionByName(mod)
+    scored = corpus.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.55) & (F.col("lang_pred") != "und"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    champ = kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    ex = (
+        champ.select("doc_id")
+        .join(corpus, "doc_id")
+        .select("doc_id", F.explode(TX.winnow_fingerprints(F.col("text"), 16, 16)).alias("w"))
+    )
+    dominated = (
+        ex.select(F.col("doc_id").alias("id_a"), "w")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "w"), "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = champ.join(dominated, "doc_id", "left_anti")
+    samp = stratified_sample(survivors, "lang_pred", {"en": 0.5}, default_rate=1.0, salt="clean")
+    return samp.select("doc_id", "lang_pred", "quality")
+
+
 def _indexer_counters(spark, sf):
     """Job-level counter parity (DupDigestMergerJob COUNTERS + job-1
     REDUCE_COUNTERS) as an oracle-checked long-format query."""
@@ -643,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "ngram_doc_freq": _ngram_doc_freq,
         "clean_corpus": _clean_corpus,
+        "clean_corpus_neardup": _clean_corpus_neardup,
         "winnow_fp": _winnow_fp,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -656,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": _simhash_buckets,
         "simhash_buckets_md5": _simhash_buckets_md5,
         "simhash_pairs": _simhash_pairs,
+        "simhash_pairs_xx": _simhash_pairs_xx,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "cosine_topk": _cosine_topk,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1295,10 +1364,11 @@ def _simhash_pairs_sql(prefix_bits: int = 16, bits: int = 60, max_hamming: int =
     """
 
 
-def _lang_quality_sql() -> str:
+def _lang_quality_sql(src: str = "documents") -> str:
     """DuckDB oracle for lang_id + quality_score, stopword literals inlined
     from functions/text.py. Every float op mirrors the Spark expression
-    order (all constants ::DOUBLE — bare 0.4 is DECIMAL in DuckDB)."""
+    order (all constants ::DOUBLE — bare 0.4 is DECIMAL in DuckDB).
+    ``src`` lets composed pipelines run it over a derived corpus CTE."""
     from image_search_indexing_spark.functions.text import _STOPWORDS
 
     toks = _TOKS.format(c="text")
@@ -1314,7 +1384,7 @@ def _lang_quality_sql() -> str:
     pick = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
     return f"""
         WITH tok AS (
-          SELECT doc_id, text, {toks} AS toks FROM documents),
+          SELECT doc_id, text, {toks} AS toks FROM {src}),
         scored AS (
           SELECT doc_id, text, toks, {score_cols},
                  len(toks) AS n_tokens, length(text) AS n_chars,
@@ -1479,6 +1549,52 @@ champ AS (
 SELECT doc_id, lang_pred, quality FROM champ
 WHERE substr(md5(doc_id::VARCHAR || '|clean'), 1, 8) <
       CASE WHEN lang_pred = 'en' THEN '80000000' ELSE 'g' END
+""",
+        "clean_corpus_neardup": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         text || ' and the winnowing copy differs here' AS text
+  FROM documents WHERE doc_id % 40 = 0),
+lq AS (SELECT doc_id, lang_pred, quality FROM ({_lang_quality_sql('corpus')})),
+fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       FROM corpus),
+kept AS (
+  SELECT lq.doc_id, lq.lang_pred, lq.quality, fp.f
+  FROM lq JOIN fp ON fp.doc_id = lq.doc_id
+  WHERE lq.quality >= 0.55 AND lq.lang_pred <> 'und'),
+champ AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1),
+nrm AS (
+  SELECT c.doc_id, trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g')) AS nt
+  FROM champ c JOIN corpus t ON t.doc_id = c.doc_id),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) >= 16
+              THEN [substr(nt, i, 16) for i in range(1, length(nt) - 14)]
+              WHEN length(nt) > 0 THEN [nt] ELSE [] END AS grams
+  FROM nrm),
+hs AS (SELECT doc_id, [md5(x) for x in grams] AS hx FROM g),
+wf AS (
+  SELECT doc_id,
+         CASE WHEN len(hx) > 0
+              THEN list_sort(list_distinct(
+                     [list_min(hx[i:i+15])
+                      for i in range(1, greatest(len(hx) - 15, 1) + 1)]))
+              ELSE [] END AS fps
+  FROM hs),
+ex AS (SELECT doc_id, unnest(fps) AS w FROM wf),
+dominated AS (
+  SELECT DISTINCT b.doc_id
+  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5)
+SELECT c.doc_id, c.lang_pred, c.quality
+FROM champ c ANTI JOIN dominated d ON c.doc_id = d.doc_id
+WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
+      CASE WHEN c.lang_pred = 'en' THEN '80000000' ELSE 'g' END
 """,
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),

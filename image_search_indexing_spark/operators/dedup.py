@@ -215,21 +215,33 @@ def simhash64(text: Column) -> Column:
     return out
 
 
-def simhash_md5_frame(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+def simhash_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    token_hash: str = "md5",
 ) -> DataFrame:
-    """Per-doc 60-bit md5 SimHash: ``(id_col, simhash)``.
+    """Per-doc SimHash over exploded tokens: ``(id_col, simhash)``.
 
-    Token hash = first 60 bits of md5 (``conv(hex, 16, 10)``), sign-summed
-    per bit over EXPLODED tokens with codegen'd aggregates — both faster at
-    corpus scale than the interpreted per-row HOF fold AND reproducible in
-    ANSI SQL (xxhash64 has no DuckDB equivalent, so the prod ``simhash64``
-    variant is rows-only-checkable).
+    Token hash is pluggable: ``md5`` (first 60 bits via ``conv(hex, 16,
+    10)`` — reproducible in ANSI SQL, the oracle-checkable twin) or
+    ``xxhash64`` (the PRODUCTION hash — cheaper, JVM-native, but with no
+    DuckDB equivalent, so rows-only-checkable; use ``bits=63`` to skip
+    the sign bit). Sign-summed per bit with codegen'd aggregates —
+    faster at corpus scale than the interpreted per-row HOF fold of
+    ``simhash64`` and provably equal to it for ``xxhash64``/63 bits
+    (pinned by ``test_simhash_xx_frame_equals_hof``).
     """
     toks = docs.select(
         F.col(id_col), F.explode(TX.word_tokens(F.col(text_col))).alias("__t")
     )
-    h = F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long")
+    if token_hash == "md5":
+        h = F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long")
+    elif token_hash == "xxhash64":
+        h = F.xxhash64("__t")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     hashed = toks.select(id_col, h.alias("__h"))
     bit_aggs = [
         F.sum(
@@ -263,7 +275,7 @@ def simhash_buckets_md5(
     for inspecting buckets, unbounded on a degenerate corpus — the
     production path is ``simhash_candidate_pairs``.
     """
-    sim = simhash_md5_frame(docs, text_col, id_col, bits)
+    sim = simhash_frame(docs, text_col, id_col, bits)
     bucket = F.shiftright("simhash", bits - prefix_bits)
     return (
         sim.select(F.col(id_col), bucket.alias("bucket"))
@@ -280,15 +292,20 @@ def simhash_candidate_pairs(
     prefix_bits: int = 16,
     bits: int = 60,
     max_hamming: int | None = 8,
+    token_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate PAIRS from SimHash — the skew-safe shape
     (mirrors ``minhash_candidate_pairs``): docs sharing the top
     ``prefix_bits`` bucket self-join and pairs STREAM out of the join
     (sort-merge/hash state, AQE skew-splittable) instead of accumulating
     per-bucket id arrays. The optional ``max_hamming`` gate applies the
-    exact 60-bit Hamming distance (``bit_count(a XOR b)``) as the verify
-    step, JVM-side. Returns ``(id_a, id_b, hamming)``, id_a < id_b."""
-    sim = simhash_md5_frame(docs, text_col, id_col, bits)
+    exact Hamming distance (``bit_count(a XOR b)``) as the verify step,
+    JVM-side. Returns ``(id_a, id_b, hamming)``, id_a < id_b.
+
+    ``token_hash='md5'`` (default) is the oracle-reproducible twin;
+    ``token_hash='xxhash64'`` with ``bits=63`` is the PRODUCTION path —
+    identical plan shape and pair contract, cheaper hash."""
+    sim = simhash_frame(docs, text_col, id_col, bits, token_hash)
     b = sim.select(
         F.col(id_col), "simhash", F.shiftright("simhash", bits - prefix_bits).alias("bucket")
     )
