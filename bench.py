@@ -12,6 +12,8 @@ Modes:
   python bench.py --frontier-only --cpus 8   # one frontier run (scaling leg)
   python bench.py --scaling       # local[8] vs local[32] legs in fresh JVMs,
                                   # writes BENCH/BASELINE.md, adds extras
+  python bench.py --check         # streaming==batch equality artifact
+                                  # (BENCH/STREAMCHECK.json; exit 0 = match)
 
 The frontier throughput bench schedules with effectively-unbounded
 politeness budgets so the measurement reflects pipeline throughput
@@ -205,6 +207,61 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
+def check_streaming(spark) -> dict:
+    """``--check``: streaming==batch equality ARTIFACT (VERDICT r3 ask
+    #9 — the streaming surface's evidence outside pytest). The same
+    interleaved corpus is read once through the Structured Streaming
+    ingest (file-source micro-batches → span explode → ref extraction)
+    and once through the batch extractor; row counts AND an order-
+    independent checksum over (doc_id, offset, url_hash) must match
+    exactly. Written to BENCH/STREAMCHECK.json. Uses the deterministic
+    synthetic corpus (the driver's sf tables carry no span sequences —
+    the frontier corpus format is the streaming input contract)."""
+    from pyspark.sql import functions as F
+
+    from image_search_indexing_spark.frontier.extract import extract_refs
+    from image_search_indexing_spark.streaming.ingest import run_to_memory
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_CHECK_DOCS", "100000"))
+    d = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    meta = spark.read.parquet(f"{d}/docmeta.parquet")
+    tmp = tempfile.mkdtemp(prefix="isis-check-", dir="/dev/shm")
+    src = f"{tmp}/src"
+    docs.join(meta, "doc_id").write.mode("overwrite").parquet(src)
+    t0 = time.time()
+    got = run_to_memory(spark, src, "t_check_refs")
+    stream_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    want = extract_refs(docs, meta, features="frontier").where(F.col("drop_reason").isNull())
+
+    def agg(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws("|", "doc_id", "offset", "url_hash"))).alias("ck"),
+        ).collect()[0]
+
+    g = agg(got)
+    w = agg(want)
+    batch_sec = round(time.time() - t0, 2)
+    out = {
+        "n_docs": n_docs,
+        "stream_rows": g["n"],
+        "batch_rows": w["n"],
+        "stream_checksum": g["ck"],
+        "batch_checksum": w["ck"],
+        "rows_match": bool(g["n"] == w["n"]),
+        "checksum_match": bool(g["ck"] == w["ck"]),
+        "stream_seconds": stream_sec,
+        "batch_seconds": batch_sec,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs("BENCH", exist_ok=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH/STREAMCHECK.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def run_leg(cpus: int) -> dict:
     """Run one frontier-only leg in a fresh JVM at the given parallelism."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_STAGE_STATS="1")
@@ -295,6 +352,27 @@ def main() -> None:
     args = sys.argv[1:]
     frontier_only = "--frontier-only" in args
     scaling = "--scaling" in args
+
+    if "--check" in args:
+        from image_search_indexing_spark.session import get_spark
+
+        spark = get_spark(app_name="bench-check", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(16, CPUS))
+        out = check_streaming(spark)
+        spark.stop()
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming==batch ref-extraction equality",
+                    "value": int(out["rows_match"] and out["checksum_match"]),
+                    "unit": "bool",
+                    "queries": {},
+                    "sf": "synthetic",
+                    "extras": out,
+                }
+            )
+        )
+        sys.exit(0 if out["rows_match"] and out["checksum_match"] else 1)
 
     if scaling:
         # pairs of (N, 4N); override like SPARK_GRAFT_SCALING_PAIRS="2:8,8:32"
