@@ -420,8 +420,20 @@ def main() -> None:
     # 32-thread legs spill-free, and fewer tasks win at small inputs
     # (800k docs: 47.5k urls/s at mult=1 vs 35.5k at mult=2)
     mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
+    # SPARK_GRAFT_MASTER lets a scaling leg run against a standalone
+    # cluster (spark://...) instead of local[N]; executor shape comes
+    # from the companion env vars, CPUS still sizes shuffle partitions.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
+    if master.startswith("spark://"):
+        extra = dict(extra or {})
+        extra.setdefault("spark.cores.max", str(CPUS))
+        extra.setdefault("spark.executor.cores", os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "4"))
+        extra.setdefault("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "20g"))
+        extra.setdefault(
+            "spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__))
+        )
     spark = get_spark(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(16, CPUS * mult),
+        app_name="bench", master=master, shuffle_partitions=max(16, CPUS * mult),
         extra_conf=extra,
     )
 
