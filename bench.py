@@ -344,6 +344,13 @@ N → 4N *executors*. Both pairs are reported; outputs are bit-identical
 across every leg (partition-count-invariant total ordering, verified by
 tests/test_frontier_golden.py::test_partition_count_invariance and the
 resume tests).
+
+See also: `BENCH/CLUSTER_r4.md` (standalone 2×4-core executor JVMs beat
+local[8] by 21.5% at the same cores — mechanism evidence that the
+threads-per-JVM term above is deployment shape, not engine),
+`BENCH/SCALING_CLUSTER_r4.md` (the N→4N pair re-measured with constant
+executor shape) and `BENCH/AB_r4.md` (interleaved r2-vs-HEAD A/B
+clearing the co-tenant-noise question).
 """
         )
 

@@ -29,13 +29,16 @@ What is REAL as well (stdlib-only, no imaging library):
   timeline;
 - GIF pixel decode (``decode_gif``: full LZW sub-block decompression,
   global/local color tables, 4-pass interlace; first frame of animated
-  streams — ImageIO ``read(0)`` semantics).
+  streams — ImageIO ``read(0)`` semantics);
+- FLAC decode (``decode_flac``, RFC 9639: frame headers, constant/
+  verbatim/fixed/LPC subframes, Rice residuals with partitions+escape,
+  all four stereo modes) feeding the same real RMS-loudness DSP as WAV.
 
 What is STUBBED (this container has no PIL/torchaudio/pyav): WEBP pixel
-decode (header dims still real), compressed-audio DSP (mp3/ogg/flac),
-video frame PIXEL decode. Those kernels are deterministic stand-ins
-behind the exact Arrow batch shape a real decoder would use — swap the
-body for the library call and nothing else changes.
+decode (header dims still real), mp3/ogg audio decode, video frame
+PIXEL decode. Those kernels are deterministic stand-ins behind the
+exact Arrow batch shape a real decoder would use — swap the body for
+the library call and nothing else changes.
 """
 
 from __future__ import annotations
@@ -1146,6 +1149,218 @@ def decode_wav(data: bytes | None) -> tuple[np.ndarray, int] | None:
         return None
 
 
+# --- FLAC (RFC 9639) --------------------------------------------------------
+
+
+class _MSBReader:
+    """MSB-first bit reader for the FLAC frame stream (no byte stuffing)."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes, bytepos: int):
+        self.data, self.pos, self.buf, self.nbits = data, bytepos, 0, 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("flac: truncated stream")
+            self.buf = (self.buf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def unary(self) -> int:
+        c = 0
+        while self.bits(1) == 0:
+            c += 1
+        return c
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def align(self) -> None:
+        k = self.nbits % 8
+        if k:
+            self.bits(k)
+
+
+def _flac_residual(br: _MSBReader, n: int, order: int) -> list[int]:
+    """Rice-coded residual (RFC 9639 §9.2.7): 4- or 5-bit parameters,
+    2^order partitions, escape code = raw fixed-width samples."""
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = br.bits(4)
+    out: list[int] = []
+    for p in range(1 << po):
+        cnt = (n >> po) - (order if p == 0 else 0)
+        k = br.bits(pbits)
+        if k == esc:
+            raw = br.bits(5)
+            out += [br.signed(raw) if raw else 0 for _ in range(cnt)]
+        else:
+            for _ in range(cnt):
+                v = (br.unary() << k) | br.bits(k)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(br: _MSBReader, n: int, bps: int) -> list[int]:
+    """One subframe (RFC 9639 §9.2.5-6): constant / verbatim / fixed
+    (orders 0-4) / LPC (orders 1-32), wasted-bits shift."""
+    if br.bits(1):
+        raise ValueError("flac: bad subframe padding bit")
+    t = br.bits(6)
+    wasted = 1 + br.unary() if br.bits(1) else 0
+    eb = bps - wasted
+    if t == 0:
+        out = [br.signed(eb)] * n
+    elif t == 1:
+        out = [br.signed(eb) for _ in range(n)]
+    elif 8 <= t <= 12 or t >= 32:
+        if t >= 32:
+            order = t - 31
+            out = [br.signed(eb) for _ in range(order)]
+            prec = br.bits(4) + 1
+            shift = br.signed(5)
+            coefs = [br.signed(prec) for _ in range(order)]
+        else:
+            order = t - 8
+            out = [br.signed(eb) for _ in range(order)]
+            shift, coefs = 0, _FLAC_FIXED[order]
+        resid = _flac_residual(br, n, order)
+        for i in range(n - order):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[order + i - 1 - j]
+            out.append((acc >> shift) + resid[i])
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_SS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def decode_flac(data: bytes | None) -> tuple[np.ndarray, int] | None:
+    """REAL FLAC decode (RFC 9639, pure Python/numpy — no codec library):
+    STREAMINFO parse, frame-header decode (UTF-8 frame numbers, all
+    block-size/sample-rate/sample-size codes), constant / verbatim /
+    fixed / LPC subframes, Rice residuals with partitions + escape,
+    wasted bits, and all four stereo decorrelation modes (independent,
+    left/side, right/side, mid/side). Returns ``(mono float64 samples in
+    [-1, 1], sample_rate)`` like ``decode_wav``; CRCs are not verified
+    (lenient, like the gates' treatment of trailing garbage)."""
+    if data is None or data[:4] != b"fLaC":
+        return None
+    try:
+        pos, rate, nch, bps, total = 4, None, None, None, None
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            body = data[pos + 4 : pos + 4 + ln]
+            if (hdr & 0x7F) == 0 and len(body) >= 18:  # STREAMINFO
+                rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+                nch = ((body[12] >> 1) & 7) + 1
+                bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+                total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+            pos += 4 + ln
+            if hdr & 0x80:
+                break
+        if not rate or not nch or bps is None or not (4 <= bps <= 32):
+            return None
+        chans: list[list[int]] = [[] for _ in range(nch)]
+        while pos + 2 < len(data):
+            if not (data[pos] == 0xFF and (data[pos + 1] & 0xFC) == 0xF8):
+                break  # no further frame sync → done (trailing bytes ignored)
+            br = _MSBReader(data, pos)
+            br.bits(16)  # sync + reserved + blocking strategy
+            bs_code = br.bits(4)
+            sr_code = br.bits(4)
+            ch_code = br.bits(4)
+            ss_code = br.bits(3)
+            br.bits(1)
+            b0 = br.bits(8)  # UTF-8 coded frame/sample number
+            if b0 >= 0xC0:
+                mask, extra = 0x40, 0
+                while b0 & mask:
+                    extra += 1
+                    mask >>= 1
+                for _ in range(extra):
+                    br.bits(8)
+            if bs_code == 6:
+                bsz = br.bits(8) + 1
+            elif bs_code == 7:
+                bsz = br.bits(16) + 1
+            elif bs_code == 1:
+                bsz = 192
+            elif 2 <= bs_code <= 5:
+                bsz = 576 << (bs_code - 2)
+            elif 8 <= bs_code <= 15:
+                bsz = 256 << (bs_code - 8)
+            else:
+                return None
+            if sr_code == 12:
+                br.bits(8)
+            elif sr_code in (13, 14):
+                br.bits(16)
+            br.bits(8)  # CRC-8 (unverified)
+            if ch_code < 8:
+                fch, mode = ch_code + 1, "indep"
+            elif ch_code in (8, 9, 10):
+                fch, mode = 2, {8: "ls", 9: "rs", 10: "ms"}[ch_code]
+            else:
+                return None
+            if fch != nch:
+                return None
+            fbps = bps if ss_code == 0 else _FLAC_SS.get(ss_code)
+            if fbps is None:
+                return None
+            sub = []
+            for c in range(fch):
+                side = (mode in ("ls", "ms") and c == 1) or (mode == "rs" and c == 0)
+                sub.append(_flac_subframe(br, bsz, fbps + (1 if side else 0)))
+            br.align()
+            br.bits(16)  # CRC-16 (unverified)
+            if mode == "indep":
+                frame = sub
+            elif mode == "ls":
+                frame = [sub[0], [a - b for a, b in zip(sub[0], sub[1])]]
+            elif mode == "rs":
+                frame = [[a + b for a, b in zip(sub[1], sub[0])], sub[1]]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(sub[0], sub[1]):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+                frame = [left, right]
+            for c in range(nch):
+                chans[c] += frame[c]
+            pos = br.pos
+        if not chans[0]:
+            return None
+        n = min(len(c) for c in chans)
+        if total:
+            n = min(n, total)
+        arr = np.array([c[:n] for c in chans], dtype=np.float64)
+        mono = arr.mean(axis=0) / float(1 << (bps - 1))
+        return mono, rate
+    except Exception:
+        return None
+
+
 def audio_rms_db(samples: np.ndarray, rate: int, window_ms: int = 1000) -> np.ndarray:
     """REAL per-window loudness: RMS in dBFS per ``window_ms`` window
     (silence floor -200 dB)."""
@@ -1171,16 +1386,18 @@ def extract_audio_features(
     df: DataFrame, media_id: str = "media_id", payload: str = "payload",
     window_ms: int = 1000, bitrate_bps: int = 128_000,
 ) -> DataFrame:
-    """Audio feature extraction: REAL for PCM WAV, estimated otherwise.
+    """Audio feature extraction: REAL for PCM WAV and FLAC, estimated
+    otherwise.
 
-    WAV payloads take the real DSP path (``decode_wav`` → exact duration
-    from the sample count, per-window RMS loudness in dBFS via
-    ``audio_rms_db``, fingerprint = md5 fold of the quantized loudness
-    curve, ``sample_rate``/``rms_db_mean`` populated). Compressed
-    containers (mp3/ogg/flac — no codecs in this sandbox) keep the
-    declared estimate path: duration from byte length at an assumed
-    bitrate, fingerprint folded over raw byte windows, NULL sample_rate.
-    MIME sniffing is real (magic bytes) on both paths.
+    WAV and FLAC payloads take the real DSP path (``decode_wav`` /
+    ``decode_flac`` → exact duration from the sample count, per-window
+    RMS loudness in dBFS via ``audio_rms_db``, fingerprint = md5 fold of
+    the quantized loudness curve, ``sample_rate``/``rms_db_mean``
+    populated). Remaining compressed containers (mp3/ogg — no codecs in
+    this sandbox) keep the declared estimate path: duration from byte
+    length at an assumed bitrate, fingerprint folded over raw byte
+    windows, NULL sample_rate. MIME sniffing is real (magic bytes) on
+    both paths.
     """
 
     def _features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1193,7 +1410,7 @@ def extract_audio_features(
                 if buf is None:
                     continue
                 n = len(buf)
-                wav = decode_wav(bytes(buf))
+                wav = decode_wav(bytes(buf)) or decode_flac(bytes(buf))
                 if wav is not None:  # REAL path
                     samples, rate = wav
                     dur = len(samples) * 1000 // rate

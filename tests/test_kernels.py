@@ -1132,3 +1132,200 @@ def test_jpeg_progressive_decode():
     # single band (1,63) and an odd band split must agree
     alt = _enc_jpeg_progressive(img, quality=90, bands=((1, 1), (2, 17), (18, 63)))
     assert np.array_equal(decode_jpeg(alt), got_p)
+
+
+# --- FLAC decode (r4): independent spec-written encoder ----------------------
+
+class _FlacW:
+    """MSB-first bit writer for building FLAC fixtures."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = self.n = 0
+
+    def put(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = self.n = 0
+
+    def sput(self, v, nbits):
+        self.put(v & ((1 << nbits) - 1), nbits)
+
+    def align(self):
+        while self.n:
+            self.put(0, 1)
+
+
+def _crc8(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _rice_write(w, resid, k, escape=False):
+    """Rice residual: method 0, partition order 0."""
+    w.put(0, 2)   # coding method
+    w.put(0, 4)   # partition order
+    if escape:
+        w.put(15, 4)  # escape code
+        raw = max(max((abs(v).bit_length() + 1) for v in resid), 2)
+        w.put(raw, 5)
+        for v in resid:
+            w.sput(v, raw)
+        return
+    w.put(k, 4)
+    for v in resid:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        q = u >> k
+        w.put(0, q) if q else None
+        w.put(1, 1)
+        w.put(u & ((1 << k) - 1), k)
+
+
+def _flac_subframe_w(w, samples, bps, kind, k=3, escape=False):
+    w.put(0, 1)  # padding
+    if kind == "verbatim":
+        w.put(1, 6)
+        w.put(0, 1)
+        for v in samples:
+            w.sput(v, bps)
+    elif kind == "constant":
+        w.put(0, 6)
+        w.put(0, 1)
+        w.sput(samples[0], bps)
+    elif kind == "fixed2":
+        w.put(8 + 2, 6)
+        w.put(0, 1)
+        for v in samples[:2]:
+            w.sput(v, bps)
+        resid = [samples[i] - (2 * samples[i - 1] - samples[i - 2])
+                 for i in range(2, len(samples))]
+        _rice_write(w, resid, k, escape)
+    elif kind == "lpc2":  # LPC with coefs [2,-1], shift 0 ≡ fixed-2 semantics
+        w.put(32 + 1, 6)  # LPC, order 2 → 100001
+        w.put(0, 1)
+        for v in samples[:2]:
+            w.sput(v, bps)
+        w.put(2, 4)       # precision-1 → 3-bit coefs
+        w.sput(0, 5)      # shift
+        w.sput(2, 3)
+        w.sput(-1, 3)
+        resid = [samples[i] - (2 * samples[i - 1] - samples[i - 2])
+                 for i in range(2, len(samples))]
+        _rice_write(w, resid, k, escape)
+
+
+def _flac_frame(idx, chans, bps, mode, kinds, escape=False):
+    n = len(chans[0])
+    h = _FlacW()
+    h.put(0b11111111111110, 14)
+    h.put(0, 2)            # reserved + fixed blocking
+    h.put(7, 4)            # block size: 16-bit value follows
+    h.put(0, 4)            # sample rate: from STREAMINFO
+    ch_code = {"indep": len(chans) - 1, "ls": 8, "rs": 9, "ms": 10}[mode]
+    h.put(ch_code, 4)
+    h.put(4, 3)            # sample size: 16-bit
+    h.put(0, 1)
+    h.put(idx, 8)          # UTF-8 frame number (idx < 128)
+    h.put(n - 1, 16)
+    hdr = bytes(h.out)
+    body = _FlacW()
+    if mode == "indep":
+        subs = [(c, bps) for c in chans]
+    elif mode == "ls":
+        side = [a - b for a, b in zip(chans[0], chans[1])]
+        subs = [(chans[0], bps), (side, bps + 1)]
+    elif mode == "rs":
+        side = [a - b for a, b in zip(chans[0], chans[1])]
+        subs = [(side, bps + 1), (chans[1], bps)]
+    else:  # ms
+        mid = [(a + b) >> 1 for a, b in zip(chans[0], chans[1])]
+        side = [a - b for a, b in zip(chans[0], chans[1])]
+        subs = [(mid, bps), (side, bps + 1)]
+    for (s, sb), kind in zip(subs, kinds):
+        _flac_subframe_w(body, s, sb, kind, escape=escape)
+    body.align()
+    frame = hdr + bytes([_crc8(hdr)]) + bytes(body.out)
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+def _flac_stream(frames_spec, rate=8000, nch=2, bps=16, total=0):
+    si = _FlacW()
+    si.put(16, 16); si.put(65535, 16)   # min/max block size
+    si.put(0, 24); si.put(0, 24)        # min/max frame size (unknown)
+    si.put(rate, 20); si.put(nch - 1, 3); si.put(bps - 1, 5)
+    si.put(total, 36)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + (34).to_bytes(3, "big")  # last block, STREAMINFO
+    out += bytes(si.out) + bytes(16)                # dummy md5
+    for f in frames_spec:
+        out += f
+    return bytes(out)
+
+
+def test_flac_decode_roundtrip():
+    """decode_flac vs an independent RFC 9639 encoder: verbatim / fixed /
+    LPC subframes, Rice residuals (incl. the escape partition), all four
+    stereo modes, multi-frame streams — integer-exact reconstruction."""
+    from image_search_indexing_spark.operators.multimodal import (
+        audio_rms_db,
+        decode_flac,
+        sniff_mime,
+    )
+
+    rng = np.random.RandomState(3)
+    n, rate = 96, 8000
+    t = np.arange(4 * n)
+    l = (3000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int64)
+    r = (2000 * np.cos(2 * np.pi * 330 * t / rate) + rng.randint(-40, 40, 4 * n)).astype(np.int64)
+    L = [int(x) for x in l]
+    R = [int(x) for x in r]
+    chunk = lambda s, i: s[i * n : (i + 1) * n]
+
+    frames = [
+        _flac_frame(0, [chunk(L, 0), chunk(R, 0)], 16, "indep",
+                    ["verbatim", "fixed2"]),
+        _flac_frame(1, [chunk(L, 1), chunk(R, 1)], 16, "ms",
+                    ["fixed2", "fixed2"]),
+        _flac_frame(2, [chunk(L, 2), chunk(R, 2)], 16, "ls",
+                    ["lpc2", "verbatim"]),
+        _flac_frame(3, [chunk(L, 3), chunk(R, 3)], 16, "rs",
+                    ["verbatim", "fixed2"], escape=True),
+    ]
+    data = _flac_stream(frames, rate=rate, nch=2, bps=16, total=4 * n)
+    assert sniff_mime(data) == "audio/flac"
+
+    got = decode_flac(data)
+    assert got is not None
+    mono, grate = got
+    assert grate == rate and len(mono) == 4 * n
+    want = (l + r) / 2.0 / 32768.0
+    assert np.allclose(mono, want, atol=0, rtol=0), np.abs(mono - want).max()
+    rms = audio_rms_db(mono, rate, window_ms=10)
+    assert len(rms) == len(mono) * 100 // rate + (1 if (len(mono) * 100) % rate else 0)
+
+    # constant subframe + mono stream
+    const = _flac_frame(0, [[-1234] * 64], 16, "indep", ["constant"])
+    m = decode_flac(_flac_stream([const], nch=1, total=64))
+    assert m is not None and np.allclose(m[0], -1234 / 32768.0)
+
+    # malformed: truncated, wrong magic, garbage after last frame ignored
+    assert decode_flac(data[:30]) is None
+    assert decode_flac(b"fLaX" + data[4:]) is None
+    tail = decode_flac(data + b"\x00garbage")
+    assert tail is not None and np.allclose(tail[0], want)
