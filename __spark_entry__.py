@@ -689,6 +689,67 @@ def _clean_corpus_neardup(spark, sf):
     return samp.select("doc_id", "lang_pred", "quality")
 
 
+_ROBOTS_TXTS = [
+    # c = hid % 6 → robots.txt fixture class (features exercised):
+    "User-agent: *\nDisallow: /private/",                       # plain prefix
+    "User-agent: *\nDisallow: *.php\nAllow: /public",           # wildcard + precedence
+    ("User-agent: archivebot\nDisallow: /img/*/raw\nAllow: /img/\n\n"
+     "User-agent: *\nDisallow: /"),                             # specific group wins
+    "User-agent: *\nDisallow: /exact$\nCrawl-delay: 2",         # $ anchor + delay
+    ("User-agent: evilbot\nDisallow: /\n# comment\n"
+     "User-agent: *\nDisallow:"),                               # empty disallow = allow-all
+    "User-agent: *\nDisallow: *",                               # wildcard disallow-all
+]
+_ROBOTS_PATHS = [
+    "/private/x.html", "/public/y.php", "/img/3/raw", "/img/3/cooked",
+    "/exact", "/exactly", "/a.php", "/index.html",
+]
+
+
+def _robots_eval(spark, sf):
+    """robots.txt END-TO-END on the oracle gate (r4): per-host robots
+    FILES (closed-form from the host id, exercising wildcards, trailing
+    ``$``, RFC 9309 group selection, empty-disallow, comments and
+    Crawl-delay) are parsed by the REAL distributed parser
+    (``robots_table_from_txt`` — Arrow batch ``parse_robots_txt``) and
+    evaluated by the REAL filter (``robots_filter`` — broadcast rule
+    arrays, exact wildcard regex, longest-pattern precedence). The
+    oracle derives every expected decision INDEPENDENTLY from the
+    closed form (a 6×8 outcome matrix hand-derived from RFC 9309), so
+    any parse or precedence bug breaks the row."""
+    from image_search_indexing_spark.frontier.politeness import (
+        robots_filter,
+        robots_table_from_txt,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    hid = F.col("doc_id") % 50
+    host = F.concat(F.lit("site"), hid.cast("string"), F.lit(".pt"))
+    hosts = d.select(hid.alias("hid")).distinct().select(
+        F.concat(F.lit("site"), F.col("hid").cast("string"), F.lit(".pt")).alias("host"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _ROBOTS_TXTS]), (F.col("hid") % 6 + 1).cast("int")
+        ).alias("robots_txt"),
+    )
+    tbl = robots_table_from_txt(hosts, agent="archivebot")
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in _ROBOTS_PATHS]), (F.col("doc_id") % 8 + 1).cast("int")
+    )
+    refs = d.select(
+        "doc_id", host.alias("host"), path.alias("path"),
+        F.concat(F.lit("http://"), host, path).alias("ref_url"),
+    )
+    out = robots_filter(refs, tbl.where(F.col("rule").isNotNull()))
+    delays = tbl.groupBy("host").agg(F.max("crawl_delay_ms").alias("__delay"))
+    return (
+        out.join(delays, "host", "left")
+        .select(
+            "doc_id", "host", "path", "robots_blocked",
+            F.coalesce(F.col("__delay"), F.lit(-1)).cast("long").alias("delay_ms"),
+        )
+    )
+
+
 def _indexer_counters(spark, sf):
     """Job-level counter parity (DupDigestMergerJob COUNTERS + job-1
     REDUCE_COUNTERS) as an oracle-checked long-format query."""
@@ -706,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_counters": _indexer_counters,
         "indexer_media_counters": _indexer_media_counters,
         "media_dims": _media_dims,
+        "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
         "ngram_doc_freq": _ngram_doc_freq,
@@ -1427,6 +1489,35 @@ def oracle_sql() -> dict[str, str]:
         "indexer_compact": _INDEXER_MEDIA_COMPACT_SQL,
         "indexer_counters": _INDEXER_COUNTERS_SQL,
         "indexer_media_counters": _INDEXER_MEDIA_COUNTERS_SQL,
+        # robots end-to-end: the oracle does NOT parse robots.txt — it
+        # derives each decision independently from the closed-form 6x8
+        # outcome matrix (RFC 9309 by hand):
+        #   c0 'Disallow: /private/'        → blocks only /private/*
+        #   c1 'Disallow: *.php' + 'Allow: /public' → blocks /a.php;
+        #       /public/y.php survives (allow len 7 > disallow len 5)
+        #   c2 archivebot group 'Disallow: /img/*/raw' + 'Allow: /img/'
+        #       (the '*' group's Disallow:/ must NOT apply) → blocks
+        #       /img/3/raw only (pattern len 10 > allow len 5)
+        #   c3 'Disallow: /exact$' → blocks /exact, NOT /exactly;
+        #       Crawl-delay: 2 → 2000 ms
+        #   c4 empty 'Disallow:' in the '*' group → allow-all
+        #   c5 'Disallow: *' → blocks everything
+        "robots_eval": """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 AS hid, (doc_id % 50) % 6 AS c,
+         doc_id % 8 AS u
+  FROM documents)
+SELECT doc_id,
+  'site' || hid || '.pt' AS host,
+  CASE u WHEN 0 THEN '/private/x.html' WHEN 1 THEN '/public/y.php'
+         WHEN 2 THEN '/img/3/raw' WHEN 3 THEN '/img/3/cooked'
+         WHEN 4 THEN '/exact' WHEN 5 THEN '/exactly'
+         WHEN 6 THEN '/a.php' ELSE '/index.html' END AS path,
+  (c = 5 OR (c = 0 AND u = 0) OR (c = 1 AND u = 6)
+   OR (c = 2 AND u = 2) OR (c = 3 AND u = 4)) AS robots_blocked,
+  CASE WHEN c = 3 THEN 2000 ELSE -1 END::BIGINT AS delay_ms
+FROM d
+""",
         # mirror of sources/mediagen.synthetic_media_binary: the oracle
         # rebuilds the binary payload AS ITS HEX TRANSCRIPT (DuckDB
         # sha256 is VARCHAR-only) and knows ground-truth dims/mime/gate;

@@ -161,15 +161,42 @@ _SVG_W = re.compile(rb'\swidth="(\d+)(?:px)?"')
 _SVG_H = re.compile(rb'\sheight="(\d+)(?:px)?"')
 
 
+def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
+    """TIFF (width, height) via the first IFD: tags 256/257, SHORT or
+    LONG values, both byte orders (II/MM)."""
+    bo = "little" if data[:2] == b"II" else "big"
+    ifd = int.from_bytes(data[4:8], bo)
+    if ifd + 2 > len(data):
+        return None, None
+    n = int.from_bytes(data[ifd : ifd + 2], bo)
+    w = h = None
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(data):
+            break
+        tag = int.from_bytes(data[e : e + 2], bo)
+        typ = int.from_bytes(data[e + 2 : e + 4], bo)
+        if tag in (256, 257):
+            # value fits inline: SHORT (3) reads 2 bytes, LONG (4) reads 4
+            v = int.from_bytes(data[e + 8 : e + 10] if typ == 3 else data[e + 8 : e + 12], bo)
+            if tag == 256:
+                w = v
+            else:
+                h = v
+    return (w, h) if w and h else (None, None)
+
+
 def parse_image_dims(data: bytes | None) -> tuple[int | None, int | None]:
     """REAL dimension extraction from image headers (F10/P2 input) —
     PNG IHDR (big-endian u32 at 16/20), GIF logical screen (little-endian
     u16 at 6/8), BMP BITMAPINFOHEADER (signed LE i32 at 18/22, top-down
-    negatives folded), JPEG SOF scan, SVG width/height attributes. Plain
-    byte arithmetic, no imaging library — the part of ``ImageParse.java``
-    the size gates consume. ``(None, None)`` = unknown container or
-    truncated header; callers treat that as a parse failure (the
-    reference's ``ImageParse`` returning null → image skipped)."""
+    negatives folded), JPEG SOF scan, TIFF first-IFD tags 256/257 (both
+    byte orders), ICO directory (largest icon; 0 byte = 256), SVG
+    width/height attributes. Plain byte arithmetic, no imaging library —
+    the part of ``ImageParse.java`` the size gates consume.
+    ``(None, None)`` = unknown container or truncated header; callers
+    treat that as a parse failure (the reference's ``ImageParse``
+    returning null → image skipped)."""
     if data is None or len(data) < 10:
         return None, None
     try:
@@ -193,6 +220,20 @@ def parse_image_dims(data: bytes | None) -> tuple[int | None, int | None]:
             return _jpeg_dims(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             return _webp_dims(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff_dims(data)
+        if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
+            n = int.from_bytes(data[4:6], "little")
+            best = None
+            for i in range(n):  # ICONDIRENTRY: width, height bytes (0=256)
+                e = 6 + 16 * i
+                if e + 16 > len(data):  # partial entries don't count
+                    break
+                w = data[e] or 256
+                h = data[e + 1] or 256
+                if best is None or w * h > best[0] * best[1]:
+                    best = (w, h)
+            return best if best else (None, None)
         head = data[:4096]
         if head[:5] in (b"<?xml", b"<svg ") or head.lstrip()[:4] == b"<svg":
             tag_end = head.find(b">")

@@ -1329,3 +1329,43 @@ def test_flac_decode_roundtrip():
     assert decode_flac(b"fLaX" + data[4:]) is None
     tail = decode_flac(data + b"\x00garbage")
     assert tail is not None and np.allclose(tail[0], want)
+
+
+def test_tiff_ico_dims():
+    """TIFF first-IFD (both byte orders, SHORT and LONG tag types) and
+    ICO directory (largest entry, 0 byte = 256) dimension parsing."""
+    from image_search_indexing_spark.operators.multimodal import (
+        parse_image_dims,
+        sniff_mime,
+    )
+
+    def tiff(bo, typ, w, h):
+        import struct
+        e = "<" if bo == "II" else ">"
+        hdr = (b"II*\x00" if bo == "II" else b"MM\x00*") + struct.pack(e + "I", 8)
+        ifd = struct.pack(e + "H", 2)
+        for tag, v in ((256, w), (257, h)):
+            if typ == 3:
+                val = struct.pack(e + "H", v) + b"\x00\x00"
+            else:
+                val = struct.pack(e + "I", v)
+            ifd += struct.pack(e + "HHI", tag, typ, 1) + val
+        ifd += struct.pack(e + "I", 0)
+        return hdr + ifd
+
+    for bo in ("II", "MM"):
+        for typ in (3, 4):
+            data = tiff(bo, typ, 1024, 768)
+            assert sniff_mime(data) == "image/tiff"
+            assert parse_image_dims(data) == (1024, 768), (bo, typ)
+
+    ico = (
+        b"\x00\x00\x01\x00" + (3).to_bytes(2, "little")
+        + bytes([16, 16]) + bytes(14)      # 16x16
+        + bytes([0, 0]) + bytes(14)        # 256x256 (0 = 256) — largest
+        + bytes([48, 48]) + bytes(14)      # 48x48
+    )
+    assert sniff_mime(ico) == "image/x-icon"
+    assert parse_image_dims(ico) == (256, 256)
+    # truncated directory → best-effort from the entries present
+    assert parse_image_dims(ico[:24]) == (16, 16)
