@@ -689,6 +689,50 @@ def _clean_corpus_neardup(spark, sf):
     return samp.select("doc_id", "lang_pred", "quality")
 
 
+def _media_audio(spark, sf):
+    """REAL audio bytes through the oracle gate (r4): closed-form PCM
+    WAV payloads (RIFF/fmt/data chunks built hex-wise from the row key,
+    constant-amplitude 8-bit samples) run the REAL DSP path
+    (``decode_wav`` → ``audio_rms_db``) while the oracle knows the
+    ground truth analytically — a constant signal of amplitude a has
+    RMS exactly a/128, so ``rms_db = 20·log10(a/128)``; durations are
+    exact sample counts. Amplitude classes chosen so the rounded dB
+    values sit far from 4-decimal rounding ties; the silence class pins
+    the −200 dBFS floor. Any header mis-parse, sample-scaling or
+    windowing bug breaks the row."""
+    from image_search_indexing_spark.operators.multimodal import extract_audio_features
+    from image_search_indexing_spark.sources.mediagen import _le8
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id") % 97
+    s = k % 5
+    amp = (
+        F.when(s == 0, 16).when(s == 1, 32).when(s == 2, 64)
+        .when(s == 3, 127).otherwise(0)
+    )
+    c = (F.lit(128) + amp).cast("int")
+    n = (F.lit(2000) + (k * 37) % 4000).cast("int")
+    hdr = F.concat(
+        F.lit("52494646"), _le8(n + 36), F.lit("57415645"),      # RIFF/WAVE
+        F.lit("666D7420"), _le8(F.lit(16)),                       # fmt chunk
+        F.lit("0100"), F.lit("0100"), _le8(F.lit(8000)),          # PCM, mono, 8 kHz
+        _le8(F.lit(8000)), F.lit("0100"), F.lit("0800"),          # byterate, align, 8-bit
+        F.lit("64617461"), _le8(n),                               # data chunk
+    )
+    payload = F.unhex(F.concat(hdr, F.repeat(F.format_string("%02X", c), n)))
+    media = d.select(F.col("doc_id").cast("string").alias("media_id"), payload.alias("payload"))
+    feats = extract_audio_features(media)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "mime_detected",
+        "n_bytes",
+        F.col("duration_ms_est").alias("duration_ms"),
+        "n_windows",
+        "sample_rate",
+        F.round("rms_db_mean", 4).alias("rms_db"),
+    )
+
+
 _ROBOTS_TXTS = [
     # c = hid % 6 → robots.txt fixture class (features exercised):
     "User-agent: *\nDisallow: /private/",                       # plain prefix
@@ -767,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_counters": _indexer_counters,
         "indexer_media_counters": _indexer_media_counters,
         "media_dims": _media_dims,
+        "media_audio": _media_audio,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -1489,6 +1534,24 @@ def oracle_sql() -> dict[str, str]:
         "indexer_compact": _INDEXER_MEDIA_COMPACT_SQL,
         "indexer_counters": _INDEXER_COUNTERS_SQL,
         "indexer_media_counters": _INDEXER_MEDIA_COUNTERS_SQL,
+        # audio ground truth is analytic: constant-amplitude PCM has
+        # RMS = a/128 exactly; no byte parsing on the oracle side
+        "media_audio": """
+WITH d AS (
+  SELECT doc_id, (doc_id % 97) % 5 AS s,
+         2000 + ((doc_id % 97) * 37) % 4000 AS n
+  FROM documents)
+SELECT doc_id, 'audio/wav' AS mime_detected,
+  (44 + n)::INTEGER AS n_bytes,
+  (n * 1000 // 8000)::BIGINT AS duration_ms,
+  1::INTEGER AS n_windows, 8000::INTEGER AS sample_rate,
+  CASE s WHEN 0 THEN round(20 * log10(16.0 / 128.0), 4)
+         WHEN 1 THEN round(20 * log10(32.0 / 128.0), 4)
+         WHEN 2 THEN round(20 * log10(64.0 / 128.0), 4)
+         WHEN 3 THEN round(20 * log10(127.0 / 128.0), 4)
+         ELSE -200.0 END AS rms_db
+FROM d
+""",
         # robots end-to-end: the oracle does NOT parse robots.txt — it
         # derives each decision independently from the closed-form 6x8
         # outcome matrix (RFC 9309 by hand):
