@@ -225,13 +225,32 @@ def test_audio_real_wav_and_mp4_timeline(spark):
         w.writeframes((pcm * 32767).astype("<i2").tobytes())
     wav = buf.getvalue()
 
-    df = spark.createDataFrame([("w1", bytearray(wav))], "media_id string, payload binary")
-    r = extract_audio_features(df).collect()[0]
+    # FLAC payload (spec-encoder fixture from test_kernels) must ride the
+    # SAME real DSP path: exact duration + real loudness + sample_rate
+    from tests.test_kernels import _flac_frame, _flac_stream
+
+    square = [8192, -8192] * 512  # RMS = 8192/32768 = 0.25 → −12.0412 dBFS
+    flac = _flac_stream(
+        [_flac_frame(0, [square], 16, "indep", ["verbatim"])],
+        rate=1024, nch=1, bps=16, total=1024,
+    )
+
+    df = spark.createDataFrame(
+        [("w1", bytearray(wav)), ("f1", bytearray(flac))],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    r = rows["w1"]
     assert r["mime_detected"] == "audio/wav"
     assert r["duration_ms_est"] == 3000  # EXACT from sample count, not bitrate
     assert r["n_windows"] == 3 and r["sample_rate"] == rate
     # mean of [-3.01, -3.01, -200] dBFS
     assert abs(r["rms_db_mean"] - (2 * -3.0103 + -200.0) / 3) < 0.02
+    f = rows["f1"]
+    assert f["mime_detected"] == "audio/flac"
+    assert f["duration_ms_est"] == 1000 and f["sample_rate"] == 1024
+    assert f["n_windows"] == 1
+    assert abs(f["rms_db_mean"] - 20 * np.log10(0.25)) < 1e-9
 
     def box(typ, body):
         return (8 + len(body)).to_bytes(4, "big") + typ + body
