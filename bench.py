@@ -244,6 +244,28 @@ def check_streaming(spark) -> dict:
     g = agg(got)
     w = agg(want)
     batch_sec = round(time.time() - t0, 2)
+
+    # stateful-operator leg: the cross-batch cumulative per-host budget
+    # (applyInPandasWithState) must grant, per host, EXACTLY
+    # min(budget, batch-side distinct URLs) — state carried across
+    # micro-batches equals the batch contract.
+    from image_search_indexing_spark.streaming.politeness import run_streaming_budget
+
+    budget = int(os.environ.get("SPARK_GRAFT_CHECK_BUDGET", "3"))
+    t0 = time.time()
+    granted = run_streaming_budget(spark, src, budget=budget, query_name="t_check_budget")
+    s_counts = {
+        r["host"]: r["n"]
+        for r in granted.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    b_counts = {
+        r["host"]: r["n"]
+        for r in want.groupBy("host")
+        .agg(F.least(F.lit(budget), F.countDistinct("url_hash")).alias("n"))
+        .collect()
+    }
+    budget_sec = round(time.time() - t0, 2)
+
     out = {
         "n_docs": n_docs,
         "stream_rows": g["n"],
@@ -254,6 +276,11 @@ def check_streaming(spark) -> dict:
         "checksum_match": bool(g["ck"] == w["ck"]),
         "stream_seconds": stream_sec,
         "batch_seconds": batch_sec,
+        "budget": budget,
+        "budget_hosts": len(b_counts),
+        "budget_granted_rows": sum(s_counts.values()),
+        "budget_counts_match": bool(s_counts == b_counts),
+        "budget_seconds": budget_sec,
     }
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs("BENCH", exist_ok=True)
@@ -371,7 +398,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "streaming==batch ref-extraction equality",
-                    "value": int(out["rows_match"] and out["checksum_match"]),
+                    "value": int(out["rows_match"] and out["checksum_match"] and out["budget_counts_match"]),
                     "unit": "bool",
                     "queries": {},
                     "sf": "synthetic",
@@ -379,7 +406,7 @@ def main() -> None:
                 }
             )
         )
-        sys.exit(0 if out["rows_match"] and out["checksum_match"] else 1)
+        sys.exit(0 if out["rows_match"] and out["checksum_match"] and out["budget_counts_match"] else 1)
 
     if scaling:
         # pairs of (N, 4N); override like SPARK_GRAFT_SCALING_PAIRS="2:8,8:32"
