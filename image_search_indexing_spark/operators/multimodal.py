@@ -34,9 +34,12 @@ What is REAL as well (stdlib-only, no imaging library):
   verbatim/fixed/LPC subframes, Rice residuals with partitions+escape,
   all four stereo modes) feeding the same real RMS-loudness DSP as WAV.
 
+- MP3 frame-header walk (``parse_mp3_meta``: ID3v2 skip, per-frame
+  bitrate/samplerate decode, VBR-correct duration from frame counting).
+
 What is STUBBED (this container has no PIL/torchaudio/pyav): WEBP pixel
-decode (header dims still real), mp3/ogg audio decode, video frame
-PIXEL decode. Those kernels are deterministic stand-ins behind the
+decode (header dims still real), mp3/ogg audio SAMPLE decode (mp3
+duration/rate metadata is real), video frame PIXEL decode. Those kernels are deterministic stand-ins behind the
 exact Arrow batch shape a real decoder would use — swap the body for
 the library call and nothing else changes.
 """
@@ -1190,6 +1193,72 @@ def decode_wav(data: bytes | None) -> tuple[np.ndarray, int] | None:
         return None
 
 
+# --- MP3 frame-header walk (ISO 11172-3 / 13818-3) --------------------------
+
+_MP3_BITRATES = {  # kbps by (version_group, layer); index 0 = free, 15 = bad
+    ("1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    ("2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {0b11: (44100, 48000, 32000), 0b10: (22050, 24000, 16000),
+              0b00: (11025, 12000, 8000)}
+
+
+def parse_mp3_meta(data: bytes | None) -> tuple[int, int] | None:
+    """REAL MP3 container metadata: (duration_ms, sample_rate) from a
+    frame-header walk — ID3v2 skip (syncsafe size), per-frame version/
+    layer/bitrate/samplerate decode, exact frame sizes incl. padding,
+    samples-per-frame accumulation (VBR-correct: duration comes from
+    counting frames, not dividing by one bitrate). Header arithmetic
+    only — no audio DSP (that part stays a declared stub for mp3)."""
+    if data is None or len(data) < 4:
+        return None
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:  # ID3v2: 4x 7-bit size
+        sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        pos = 10 + sz
+    total_samples = 0
+    rate0 = None
+    n_frames = 0
+    while pos + 4 <= len(data):
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+            if n_frames:  # trailing garbage after valid frames: stop
+                break
+            pos += 1  # resync before the first frame
+            continue
+        vbits = (data[pos + 1] >> 3) & 3
+        lbits = (data[pos + 1] >> 1) & 3
+        if vbits == 1 or lbits == 0:
+            break
+        layer = 4 - lbits  # 11→1, 10→2, 01→3
+        vgroup = "1" if vbits == 3 else "2"
+        br_idx = data[pos + 2] >> 4
+        sr_idx = (data[pos + 2] >> 2) & 3
+        padding = (data[pos + 2] >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
+        rate = _MP3_RATES[vbits][sr_idx]
+        if layer == 1:
+            spf = 384
+            size = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            spf = 1152 if (layer == 2 or vgroup == "1") else 576
+            size = spf // 8 * kbps * 1000 // rate + padding
+        if size <= 4:
+            break
+        total_samples += spf
+        rate0 = rate0 or rate
+        n_frames += 1
+        pos += size
+    if not n_frames or not rate0:
+        return None
+    return total_samples * 1000 // rate0, rate0
+
+
 # --- FLAC (RFC 9639) --------------------------------------------------------
 
 
@@ -1434,11 +1503,12 @@ def extract_audio_features(
     ``decode_flac`` → exact duration from the sample count, per-window
     RMS loudness in dBFS via ``audio_rms_db``, fingerprint = md5 fold of
     the quantized loudness curve, ``sample_rate``/``rms_db_mean``
-    populated). Remaining compressed containers (mp3/ogg — no codecs in
-    this sandbox) keep the declared estimate path: duration from byte
-    length at an assumed bitrate, fingerprint folded over raw byte
-    windows, NULL sample_rate. MIME sniffing is real (magic bytes) on
-    both paths.
+    populated). MP3 gets REAL container metadata (``parse_mp3_meta``
+    frame walk → VBR-correct duration + sample_rate) with the loudness
+    DSP stubbed (fingerprint folds raw byte windows, NULL rms). Ogg —
+    no codec in this sandbox — keeps the declared estimate path:
+    duration from byte length at an assumed bitrate, NULL sample_rate.
+    MIME sniffing is real (magic bytes) on every path.
     """
 
     def _features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1464,13 +1534,18 @@ def extract_audio_features(
                          rate, float(rms.mean()))
                     )
                     continue
-                dur = n * 8000 // bitrate_bps  # ms at the assumed bitrate
+                mime = sniff_mime(bytes(buf))
+                mp3 = parse_mp3_meta(bytes(buf)) if mime == "audio/mpeg" else None
+                if mp3 is not None:  # REAL container metadata, stub DSP
+                    dur, srate = mp3
+                else:
+                    dur, srate = n * 8000 // bitrate_bps, None  # assumed bitrate
                 n_win = max(1, (n + bytes_per_window - 1) // bytes_per_window)
                 fp = 0
                 for w in range(n_win):  # per-window fold (estimate path)
                     chunk = buf[w * bytes_per_window : (w + 1) * bytes_per_window]
                     fp ^= int.from_bytes(hashlib.md5(chunk).digest()[:8], "big") >> 1
-                rows.append((mid, sniff_mime(bytes(buf)), n, dur, n_win, fp, None, None))
+                rows.append((mid, mime, n, dur, n_win, fp, srate, None))
             out = pd.DataFrame(
                 rows,
                 columns=[

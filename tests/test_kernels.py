@@ -1369,3 +1369,62 @@ def test_tiff_ico_dims():
     assert parse_image_dims(ico) == (256, 256)
     # truncated directory → best-effort from the entries present
     assert parse_image_dims(ico[:24]) == (16, 16)
+
+
+def test_mp3_frame_walk_duration():
+    """parse_mp3_meta: hand-built frame sequences (ISO 11172-3 header
+    arithmetic) — exact frame sizes with padding, VBR mixes, MPEG2
+    Layer3 576-sample frames, ID3v2 skip, trailing-garbage stop."""
+    from image_search_indexing_spark.operators.multimodal import (
+        parse_mp3_meta,
+        sniff_mime,
+    )
+
+    def frame(kbps_idx, rate_idx, padding, version=0b11, layer=0b01):
+        h = bytes([
+            0xFF,
+            0xE0 | (version << 3) | (layer << 1),
+            (kbps_idx << 4) | (rate_idx << 2) | (padding << 1),
+            0x00,
+        ])
+        # size arithmetic mirrored from the spec, not the implementation
+        rates = {0b11: (44100, 48000, 32000), 0b10: (22050, 24000, 16000)}
+        v1_l3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+        v2_l3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+        kbps = (v1_l3 if version == 0b11 else v2_l3)[kbps_idx]
+        rate = rates[version][rate_idx]
+        spf = 1152 if version == 0b11 else 576
+        size = spf // 8 * kbps * 1000 // rate + padding
+        return h + bytes(size - 4), spf, rate
+
+    # CBR: 10 frames MPEG1 L3 128kbps 44100, alternating padding
+    data = b""
+    total = 0
+    for i in range(10):
+        f, spf, rate = frame(9, 0, i % 2)
+        data += f
+        total += spf
+    assert sniff_mime(b"\xff\xfb" + data[2:]) == "audio/mpeg"
+    got = parse_mp3_meta(data)
+    assert got == (total * 1000 // 44100, 44100), got
+
+    # VBR: mixed bitrates still sum samples per frame
+    data2 = b""
+    for idx in (5, 9, 13, 9):
+        f, _, _ = frame(idx, 1, 0)
+        data2 += f
+    assert parse_mp3_meta(data2) == (4 * 1152 * 1000 // 48000, 48000)
+
+    # MPEG2 L3: 576-sample frames at 22050
+    f22, spf22, _ = frame(6, 0, 0, version=0b10)
+    assert spf22 == 576
+    assert parse_mp3_meta(f22 * 5) == (5 * 576 * 1000 // 22050, 22050)
+
+    # ID3v2 prefix (syncsafe size) + trailing garbage after frames
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 3]) + bytes(131)  # size 131
+    assert parse_mp3_meta(id3 + data) == (total * 1000 // 44100, 44100)
+    assert parse_mp3_meta(data + b"\x00junk!") == (total * 1000 // 44100, 44100)
+
+    # junk-only / truncated → None
+    assert parse_mp3_meta(b"\x00" * 64) is None
+    assert parse_mp3_meta(None) is None
