@@ -802,6 +802,101 @@ def _indexer_counters(spark, sf):
     return indexer_counters(spark, sf)
 
 
+def _gopher_repetition(spark, sf):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) over the
+    REAL corpus text: top-token fraction + duplicate 2-/3-gram
+    fractions, computed per-row with HOF folds — the plan is a pure
+    projection with zero exchanges (the oracle recomputes the same
+    numbers relationally via unnest/group)."""
+    from image_search_indexing_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"))
+
+
+def _c4_filters(spark, sf):
+    """C4 heuristic gates (Raffel et al. 2020 §2.2) over a
+    deterministically AUGMENTED corpus: the raw synthetic text has no
+    punctuation at all, so every flag would be constant (a vacuous
+    green). Instead each doc gets a closed-form suffix — terminal
+    punctuation for ≡0 (mod 3), a bare ' etc' for ≡1, '!' otherwise;
+    'Lorem Ipsum' injected at ≡0 (mod 37); a code brace at ≡0 (mod
+    23); docs ≡0 (mod 29) truncated to 12 chars to trip the min-length
+    gate — mirrored verbatim in the oracle SQL, so every flag and the
+    composed keep decision are value-varied and independently derived."""
+    from image_search_indexing_spark.operators.curation import c4_signals
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    base = F.when(did % 29 == 0, F.substring(F.col("text"), 1, 12)).otherwise(F.col("text"))
+    aug = F.concat(
+        base,
+        F.when(did % 3 == 0, F.lit(". Fine."))
+        .when(did % 3 == 1, F.lit(" etc"))
+        .otherwise(F.lit("!")),
+        F.when(did % 37 == 0, F.lit(" Lorem Ipsum dolor sit")).otherwise(F.lit("")),
+        F.when(did % 23 == 0, F.lit(" if (x) { y(); }")).otherwise(F.lit("")),
+    )
+    return c4_signals(d.select("doc_id", aug.alias("text")))
+
+
+def _pii_redact(spark, sf):
+    """PII detect-and-redact over deterministically INJECTED spans (the
+    corpus itself contains no PII — injection keeps the query
+    non-vacuous): emails at ≡0 (mod 11), NANP phones at ≡0 (mod 13),
+    IPv4s at ≡0 (mod 17), each parameterized by doc_id and mirrored in
+    the oracle, which redacts with the SAME RE2-safe regexes."""
+    from image_search_indexing_spark.operators.curation import pii_redact
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" contact user"), (did % 97).cast("string"), F.lit("@mail.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0."),
+                (did % 250 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_redact(d.select("doc_id", aug.alias("text")))
+
+
+def _decontam_overlap(spark, sf):
+    """Benchmark decontamination: the 'eval set' is a closed-form slice
+    of the corpus itself — for docs ≡0 (mod 41) with ≥11 tokens, the
+    8-token span at positions 4..11 becomes one benchmark text (the
+    realistic leak shape: an eval question IS a fragment of a training
+    page). Training docs sharing any word 8-gram with the benchmark are
+    flagged with their distinct-overlap count. Broadcast the benchmark
+    gram set; one shuffle (the per-doc count-distinct)."""
+    from image_search_indexing_spark.functions.text import word_tokens
+    from image_search_indexing_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf, "documents")
+    toks = word_tokens(F.col("text"))
+    bench = (
+        d.where(F.col("doc_id") % 41 == 0)
+        .select(F.col("doc_id"), toks.alias("toks"))
+        .where(F.size(F.col("toks")) >= 11)
+        .select(F.array_join(F.slice(F.col("toks"), 4, 8), " ").alias("text"))
+    )
+    return decontaminate(d, bench, k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": _frontier_schedule,
@@ -846,6 +941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anti_orders": _events_anti_orders,
         "text_stats": _text_stats,
         "lang_quality": _lang_quality,
+        "gopher_repetition": _gopher_repetition,
+        "c4_filters": _c4_filters,
+        "pii_redact": _pii_redact,
+        "decontam_overlap": _decontam_overlap,
         "rolling_fp": _rolling_fp,
         "surt_tokens": _surt_tokens,
     }
@@ -1471,6 +1570,119 @@ def _simhash_pairs_sql(prefix_bits: int = 16, bits: int = 60, max_hamming: int =
     """
 
 
+def _grams_sql(t: str, k: int) -> str:
+    """Word k-gram list over a token-list SQL expression — mirrors
+    ``word_shingles`` exactly (singleton joined gram for 0 < n < k,
+    empty list for empty token lists). ``_SHINGLES`` is this at k=3."""
+    return (
+        f"CASE WHEN len({t}) >= {k} THEN"
+        f" [array_to_string({t}[i:i+{k - 1}], ' ') for i in range(1, len({t}) - {k - 2})]"
+        f" WHEN len({t}) > 0 THEN [array_to_string({t}, ' ')]"
+        " ELSE [] END"
+    )
+
+
+def _gopher_sql() -> str:
+    """Oracle for repetition_signals: the top-token multiplicity is
+    recomputed RELATIONALLY (unnest → group → max) — an independent
+    derivation of what Spark computes with a sorted-array fold."""
+    toks = _TOKS.format(c="text")
+    dup = (
+        "CASE WHEN len({g}) > 0 THEN round(1.0::DOUBLE"
+        " - len(list_distinct({g}))::DOUBLE / len({g}), 6)"
+        " ELSE 0.0::DOUBLE END"
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+        c AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY doc_id, tk),
+        m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY doc_id),
+        g AS (SELECT doc_id, len(toks) AS n,
+                     {_grams_sql('toks', 2)} AS g2,
+                     {_grams_sql('toks', 3)} AS g3
+              FROM tok)
+        SELECT g.doc_id, n::INT AS n_tokens,
+               CASE WHEN n > 0 THEN round(m.top::DOUBLE / n, 6)
+                    ELSE 0.0::DOUBLE END AS top_token_frac,
+               {dup.format(g='g2')} AS dup_2gram_frac,
+               {dup.format(g='g3')} AS dup_3gram_frac
+        FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+    """
+
+
+_C4_AUG_SQL = """
+  SELECT doc_id,
+    (CASE WHEN doc_id % 29 = 0 THEN substr(text, 1, 12) ELSE text END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '. Fine.'
+             WHEN doc_id % 3 = 1 THEN ' etc' ELSE '!' END)
+    || (CASE WHEN doc_id % 37 = 0 THEN ' Lorem Ipsum dolor sit' ELSE '' END)
+    || (CASE WHEN doc_id % 23 = 0 THEN ' if (x) { y(); }' ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def _c4_sql() -> str:
+    toks = _TOKS.format(c="text")
+    term = "regexp_matches(text, '[.!?\"]\\s*$')"
+    lorem = "contains(lower(text), 'lorem ipsum')"
+    brace = "contains(text, '{')"
+    return f"""
+        WITH aug AS ({_C4_AUG_SQL}),
+        tok AS (SELECT doc_id, text, {toks} AS toks FROM aug)
+        SELECT doc_id, len(toks)::INT AS n_tokens,
+               {term} AS ends_terminal,
+               len(regexp_extract_all(text, '[.!?]'))::INT AS n_sentences,
+               {lorem} AS has_lorem,
+               {brace} AS has_brace,
+               ({term} AND NOT {lorem} AND NOT {brace}
+                AND len(toks) >= 5) AS keep
+        FROM tok
+    """
+
+
+def _pii_sql() -> str:
+    from image_search_indexing_spark.operators.curation import (
+        _EMAIL_RE,
+        _IPV4_RE,
+        _PHONE_RE,
+    )
+
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, text
+            || (CASE WHEN doc_id % 11 = 0 THEN ' contact user' || (doc_id % 97)
+                     || '@mail.example.org' ELSE '' END)
+            || (CASE WHEN doc_id % 13 = 0 THEN ' call 555-'
+                     || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                     || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END)
+            || (CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || (doc_id % 256)
+                     || '.0.' || (doc_id % 250 + 1) ELSE '' END) AS text
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE}'))::INT AS n_emails,
+               len(regexp_extract_all(text, '{_PHONE_RE}'))::INT AS n_phones,
+               len(regexp_extract_all(text, '{_IPV4_RE}'))::INT AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM aug
+    """
+
+
+def _decontam_sql() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""
+        WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+        bench AS (SELECT DISTINCT array_to_string(toks[4:11], ' ') AS gram
+                  FROM tok WHERE doc_id % 41 = 0 AND len(toks) >= 11),
+        tg AS (SELECT doc_id, unnest({_grams_sql('toks', 8)}) AS gram FROM tok)
+        SELECT tg.doc_id, count(DISTINCT tg.gram)::BIGINT AS n_overlap
+        FROM tg JOIN bench ON tg.gram = bench.gram
+        GROUP BY tg.doc_id
+    """
+
+
 def _lang_quality_sql(src: str = "documents") -> str:
     """DuckDB oracle for lang_id + quality_score, stopword literals inlined
     from functions/text.py. Every float op mirrors the Spark expression
@@ -1758,6 +1970,10 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "simhash_buckets_md5": _simhash_md5_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "lang_quality": _lang_quality_sql(),
+        "gopher_repetition": _gopher_sql(),
+        "c4_filters": _c4_sql(),
+        "pii_redact": _pii_sql(),
+        "decontam_overlap": _decontam_sql(),
         "token_estimates": r"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -1,0 +1,200 @@
+"""Corpus-curation signal operators for LLM training-data pipelines.
+
+Four families a web-scale (100 TB) curation run applies between crawl
+and tokenization, each expressed as zero-or-one-shuffle DataFrame plans
+built purely from JVM built-ins (no Python UDFs anywhere):
+
+* **Repetition signals** (Gopher, Rae et al. 2021 §A1.1): per-document
+  top-token fraction and duplicate word-n-gram fractions. Repetitive
+  boilerplate (nav bars, keyword stuffing, SEO spam) scores high and is
+  dropped before it poisons the token mix. Computed per-row with
+  higher-order functions over the token array — a pure projection that
+  rides the scan: NO explode, NO groupBy, zero shuffles, because at
+  100 TB an explode-to-tokens intermediate would be ~20x the corpus.
+
+* **Heuristic gates** (C4, Raffel et al. 2020 §2.2): terminal
+  punctuation, sentence count, "lorem ipsum" / code-brace markers,
+  minimum length — cheap regex flags that remove the bulk of non-prose
+  before any expensive model-based scoring runs.
+
+* **PII redaction**: email / NANP-phone / IPv4 detection counts plus a
+  redacted text column (`<EMAIL>`/`<PHONE>`/`<IP>` placeholders) via
+  chained ``regexp_replace`` — the regexes are chosen to behave
+  identically under Java regex (Spark) and RE2 (DuckDB oracle).
+
+* **Decontamination**: flag training documents that share any word
+  k-gram (k=8 by default, the standard eval-decontamination window)
+  with a benchmark/eval set. The benchmark side is tiny by definition,
+  so its distinct-gram set is broadcast and the train side never
+  shuffles — one scan, one broadcast hash join, one partial-agg
+  count-distinct per doc.
+
+All signal columns are deterministic and expressible in ANSI SQL, so
+every operator here runs under the driver's DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles, word_tokens
+
+__all__ = [
+    "repetition_signals",
+    "c4_signals",
+    "pii_redact",
+    "decontaminate",
+]
+
+
+def _max_run_count(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e.
+    the multiplicity of the most frequent element — via one
+    ``F.aggregate`` fold (per-row, JVM codegen, no explode)."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step)["best"]
+
+
+def _dup_frac(grams: Column) -> Column:
+    """Fraction of n-gram instances that are repeats of an earlier
+    instance: ``1 - distinct/total`` (Gopher's duplicate-n-gram
+    fraction). 0.0 for empty gram lists."""
+    n = F.size(grams)
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition metrics (Gopher §A1.1 analogs).
+
+    Returns ``(id, n_tokens, top_token_frac, dup_2gram_frac,
+    dup_3gram_frac)``. ``top_token_frac`` is the most frequent token's
+    share of all tokens (Gopher drops docs where it exceeds ~0.2 for
+    2-grams etc.); the dup fractions are 1 - distinct/total over word
+    2-/3-grams. Pure projection: tokenization, sort, fold and distinct
+    all run as higher-order functions inside whole-stage codegen — the
+    plan has zero exchanges and survives a 100 TB scan unchanged."""
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    n = F.size(toks)
+    top = _max_run_count(F.array_sort(toks))
+    return docs.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.when(n > 0, F.round(top.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        _dup_frac(word_shingles(text, 2)).alias("dup_2gram_frac"),
+        _dup_frac(word_shingles(text, 3)).alias("dup_3gram_frac"),
+    )
+
+
+def c4_signals(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style heuristic gate signals (Raffel et al. 2020 §2.2).
+
+    Returns per-doc flags plus the composed ``keep`` decision:
+    * ``ends_terminal`` — text ends with ``.``, ``!``, ``?`` or ``"``
+      (C4 keeps only lines ending in terminal punctuation);
+    * ``n_sentences`` — count of terminal-punctuation marks;
+    * ``has_lorem`` — contains "lorem ipsum" (case-insensitive);
+    * ``has_brace`` — contains ``{`` (C4's code-page marker);
+    * ``n_tokens`` and the C4 minimum-length gate (≥ 5 words);
+    * ``keep`` — ends_terminal ∧ ¬has_lorem ∧ ¬has_brace ∧ n_tokens ≥ 5.
+
+    Pure regex projection — no shuffle, pushes past the scan."""
+    text = F.col(text_col)
+    n_tokens = F.size(word_tokens(text))
+    ends_terminal = text.rlike('[.!?"]\\s*$')
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        ends_terminal.alias("ends_terminal"),
+        F.regexp_count(text, F.lit(r"[.!?]")).alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (ends_terminal & ~has_lorem & ~has_brace & (n_tokens >= 5)).alias("keep"),
+    )
+
+
+# PII patterns — identical semantics under Java regex and RE2:
+# no backreferences, no lookaround, \b supported by both.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Detect-and-redact PII spans: emails, NANP phone numbers, IPv4
+    addresses. Returns ``(id, n_emails, n_phones, n_ips, redacted)``
+    where ``redacted`` replaces each span with a typed placeholder.
+
+    Order matters: IPv4 is replaced BEFORE phones (both are digit runs,
+    but the patterns are disjoint) and emails first so the address's
+    host part can't be half-eaten by the IP rule. Chained
+    ``regexp_replace`` — single projection, zero shuffles, and the
+    identical regexes run in the DuckDB oracle (RE2-safe subset)."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        id_col,
+        F.regexp_count(text, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(text, F.lit(_IPV4_RE)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of
+    distinct word ``k``-grams it shares with the benchmark set
+    (docs with 0 overlap are omitted — at 100 TB the contaminated
+    slice is tiny and emitting the clean majority would be the
+    anti-pattern).
+
+    Plan shape for scale: the benchmark's distinct-gram set is
+    broadcast (eval sets are small by definition — thousands of docs,
+    not billions), the training side explodes to grams AFTER the
+    semi-side hash set is built, and the per-doc count-distinct gets a
+    map-side partial aggregate. One scan of train, one broadcast, one
+    shuffle (the final per-doc agg)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_overlap"))
+    )

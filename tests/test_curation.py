@@ -1,0 +1,129 @@
+"""Curation operators: hand-derived expected values + plan-shape pins.
+
+Every expected number here is computed by hand from the definition, not
+by running the operator — the oracle gate already cross-checks against
+DuckDB; these pins catch semantic drift at the unit level and freeze
+the scale-critical plan shapes (zero-exchange projections, broadcast
+decontamination join, no Python UDFs anywhere)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_search_indexing_spark.operators.curation import (
+    c4_signals,
+    decontaminate,
+    pii_redact,
+    repetition_signals,
+)
+
+
+def _by_id(rows):
+    return {r[0]: r for r in rows}
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # tokens: [a, a, b, a] -> top 'a' 3/4; 2-grams [a a, a b, b a]
+            # all distinct -> dup2 0; 3-grams [a a b, a b a] distinct -> 0
+            (1, "a a b a"),
+            # [x, x, x, x] -> top 1.0; 2-grams [x x]*3 -> dup2 = 1 - 1/3;
+            # 3-grams [x x x]*2 -> dup3 = 1 - 1/2
+            (2, "x x x x"),
+            (3, ""),  # no tokens -> all zeros
+            (4, "solo"),  # 1 token: top 1.0, singleton grams, dup 0
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_id(repetition_signals(df).collect())
+    assert out[1][1:] == (4, 0.75, 0.0, 0.0)
+    r2 = out[2]
+    assert r2[1] == 4 and r2[2] == 1.0
+    assert r2[3] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert r2[4] == 0.5
+    assert out[3][1:] == (0, 0.0, 0.0, 0.0)
+    assert out[4][1:] == (1, 1.0, 0.0, 0.0)
+
+
+def test_repetition_signals_zero_exchanges_no_python(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("w1 w2 w1 w2 w1").alias("text")
+    )
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_signals_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "This is a clean sentence with enough words."),
+            (2, "no terminal punctuation here at all"),
+            (3, "Contains lorem ipsum filler text, dropped."),
+            (4, "function f() { return 1; } done."),
+            (5, "Too short."),
+            (6, 'He said "stop."  '),  # quote + trailing ws still terminal
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_id(c4_signals(df).collect())
+    assert out[1]["keep"] and out[1]["ends_terminal"] and out[1]["n_sentences"] == 1
+    assert not out[2]["ends_terminal"] and not out[2]["keep"]
+    assert out[3]["has_lorem"] and not out[3]["keep"]
+    assert out[4]["has_brace"] and not out[4]["keep"]
+    assert out[5]["n_tokens"] == 2 and not out[5]["keep"]  # < 5 words
+    assert out[6]["ends_terminal"]
+
+
+def test_pii_redact_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@sub.example.co.uk or x@y.io now"),
+            (2, "call 555-123-4567 twice: 555-123-4567"),
+            (3, "host 10.0.42.7 gateway 192.168.0.1"),
+            (4, "clean text with no pii at all"),
+            (5, "version 1.2.3 is not an ip"),  # only 3 octets
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_id(pii_redact(df).collect())
+    assert out[1]["n_emails"] == 2
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"] == "call <PHONE> twice: <PHONE>"
+    assert out[3]["n_ips"] == 2
+    assert out[3]["redacted"] == "host <IP> gateway <IP>"
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (0, 0, 0)
+    assert out[4]["redacted"] == "clean text with no pii at all"
+    assert out[5]["n_ips"] == 0 and "1.2.3" in out[5]["redacted"]
+
+
+def test_decontaminate_counts_and_broadcast(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  # grams 1..3 of the span
+            (2, "t3 t4 t5 t6 t7 t8 t9 t10 x y"),    # gram 3 only... see below
+            (3, "completely different words here no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark text = t1..t8 -> its single 8-gram is 't1 ... t8'
+    bench = spark.createDataFrame([("t1 t2 t3 t4 t5 t6 t7 t8",)], "text string")
+    out = decontaminate(train, bench, k=8)
+    rows = _by_id(out.collect())
+    # doc 1 contains the exact 8-gram t1..t8 (positions 1-8) -> overlap 1
+    assert rows[1]["n_overlap"] == 1
+    # doc 2 starts at t3 -> never matches the full t1..t8 gram
+    assert 2 not in rows and 3 not in rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_short_doc_singleton_gram(spark):
+    # a <8-token train doc forms one whole-text gram; it only matches a
+    # benchmark doc with the identical short text
+    train = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c",), ("a b",)], "text string")
+    rows = decontaminate(train, bench, k=8).collect()
+    assert len(rows) == 1 and rows[0]["n_overlap"] == 1
