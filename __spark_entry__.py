@@ -733,6 +733,46 @@ def _media_audio(spark, sf):
     )
 
 
+def _media_video(spark, sf):
+    """REAL video bytes through the oracle gate (r4): closed-form AVI
+    containers (``synthetic_media_avi`` — RIFF/hdrl/avih/strl/movi
+    built hex-wise, uncompressed 24-bit DIB frames of a constant
+    per-frame color) are walked and pixel-decoded by the REAL path
+    (``extract_video_frames`` → ``iter_avi_frames`` →
+    ``decode_dib_frame``: bottom-up BGR row unpack), while the oracle
+    states every frame's dims, timestamp (from the container frame
+    rate) and exact channel means analytically. Any chunk-walk, header
+    or pixel-layout bug breaks the row."""
+    from image_search_indexing_spark.operators.multimodal import extract_video_frames
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_avi
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = synthetic_media_avi(d).select(
+        F.col("doc_id").cast("string").alias("media_id"), "payload"
+    )
+    return extract_video_frames(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx", "ts_ms", "width", "height",
+        "mean_r", "mean_g", "mean_b", "decoded",
+    )
+
+
+_MEDIA_VIDEO_SQL = """
+WITH d AS (SELECT doc_id,
+                  8 + 4*(doc_id % 3) AS w, 8 + 8*(doc_id % 2) AS h,
+                  1 + doc_id % 4 AS nf, 40000 + 20000*(doc_id % 3) AS upf
+           FROM documents),
+f AS (SELECT doc_id, w, h, upf, unnest(range(nf)) AS fi FROM d)
+SELECT doc_id, fi::INT AS frame_idx, (fi * upf // 1000)::BIGINT AS ts_ms,
+       w::INT AS width, h::INT AS height,
+       ((doc_id*7 + fi*13) % 256)::DOUBLE AS mean_r,
+       ((doc_id*11 + fi*17) % 256)::DOUBLE AS mean_g,
+       ((doc_id*3 + fi*29) % 256)::DOUBLE AS mean_b,
+       TRUE AS decoded
+FROM f
+"""
+
+
 _ROBOTS_TXTS = [
     # c = hid % 6 → robots.txt fixture class (features exercised):
     "User-agent: *\nDisallow: /private/",                       # plain prefix
@@ -907,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_media_counters": _indexer_media_counters,
         "media_dims": _media_dims,
         "media_audio": _media_audio,
+        "media_video": _media_video,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -1764,6 +1805,7 @@ SELECT doc_id, 'audio/wav' AS mime_detected,
          ELSE -200.0 END AS rms_db
 FROM d
 """,
+        "media_video": _MEDIA_VIDEO_SQL,
         # robots end-to-end: the oracle does NOT parse robots.txt — it
         # derives each decision independently from the closed-form 6x8
         # outcome matrix (RFC 9309 by hand):

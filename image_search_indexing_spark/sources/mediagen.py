@@ -166,6 +166,86 @@ def jpeg_hex(w, h):
     )
 
 
+# ---------------------------------------------------------------------------
+# Closed-form AVI video payloads (round 4): structurally valid VfW AVI
+# files — RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids/DIB ',
+# strf BITMAPINFOHEADER}} → LIST(movi){'00db' frames} — with uncompressed
+# 24-bit bottom-up BGR frames of a constant per-frame color, so the
+# DuckDB oracle can state every decoded frame's channel means exactly
+# while Spark's extract_video_frames walks the REAL container and
+# decodes the REAL pixel bytes. Closed form (mirrored in the media_video
+# oracle SQL): w = 8+4*(doc_id%3)  (all ≡0 mod 4 → no row padding),
+# h = 8+8*(doc_id%2), n_frames = 1+doc_id%4, usec/frame =
+# 40000+20000*(doc_id%3); frame f is constant RGB
+# ((7d+13f)%256, (11d+17f)%256, (3d+29f)%256).
+# ---------------------------------------------------------------------------
+
+
+def _le2h(col):  # u16 LE hex
+    c = col.cast("int")
+    return F.format_string("%02X%02X", c % 256, (c / 256).cast("int") % 256)
+
+
+_FCC = {"RIFF": "52494646", "AVI ": "41564920", "LIST": "4C495354",
+        "hdrl": "6864726C", "avih": "61766968", "strl": "7374726C",
+        "strh": "73747268", "strf": "73747266", "vids": "76696473",
+        "DIB ": "44494220", "movi": "6D6F7669", "00db": "30306462"}
+
+
+def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, payload binary)`` — real AVI containers, closed-form
+    from ``doc_id`` (see the layout comment above)."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    w = (F.lit(8) + (did % 3) * 4).cast("int")
+    h = (F.lit(8) + (did % 2) * 8).cast("int")
+    nf = (F.lit(1) + did % 4).cast("int")
+    upf = (F.lit(40000) + (did % 3) * 20000).cast("int")
+    fs = (w * h * 3).cast("int")  # frame bytes (w ≡ 0 mod 4 → no padding)
+    z4, z8 = "00000000", "0000000000000000"
+
+    avih = F.concat(  # 56-byte main header
+        _le8(upf), F.lit(z4 * 3),            # maxbytes, padding, flags
+        _le8(nf), F.lit(z4),                 # total frames, initial
+        _le8(F.lit(1)), F.lit(z4),           # streams = 1, sug. buffer
+        _le8(w), _le8(h), F.lit(z8 * 2),     # width, height, reserved[4]
+    )
+    strh = F.concat(  # 56-byte stream header: fps = rate/scale
+        F.lit(_FCC["vids"] + _FCC["DIB "] + z4 + z4),  # flags, prio+lang
+        F.lit(z4),                           # initial frames
+        _le8(upf), _le8(F.lit(1_000_000)),   # scale, rate
+        F.lit(z4), _le8(nf),                 # start, length
+        _le8(fs), F.lit("FFFFFFFF"), F.lit(z4),  # bufsize, quality -1, samplesize
+        F.lit(z4), _le2h(w), _le2h(h),       # rcFrame
+    )
+    strf = F.concat(  # 40-byte BITMAPINFOHEADER
+        _le8(F.lit(40)), _le8(w), _le8(h),
+        F.lit("0100" + "1800" + z4),         # planes 1, 24bpp, BI_RGB
+        _le8(fs), F.lit(z4 * 4),
+    )
+    strl = F.concat(F.lit(_FCC["strl"] + _FCC["strh"]), _le8(F.lit(56)), strh,
+                    F.lit(_FCC["strf"]), _le8(F.lit(40)), strf)
+    hdrl = F.concat(F.lit(_FCC["hdrl"] + _FCC["avih"]), _le8(F.lit(56)), avih,
+                    F.lit(_FCC["LIST"]), _le8(F.lit(116)), strl)
+
+    def frame(f: int):
+        pix = F.format_string(  # DIB byte order is B, G, R
+            "%02X%02X%02X",
+            (did * 3 + f * 29) % 256, (did * 11 + f * 17) % 256,
+            (did * 7 + f * 13) % 256,
+        )
+        chunk = F.concat(F.lit(_FCC["00db"]), _le8(fs), F.repeat(pix, w * h))
+        return F.when(nf > f, chunk).otherwise(F.lit(""))
+
+    movi_body = (F.lit(4) + nf * (fs + 8)).cast("int")
+    movi = F.concat(F.lit(_FCC["LIST"]), _le8(movi_body), F.lit(_FCC["movi"]),
+                    *[frame(f) for f in range(4)])
+    riff_size = (movi_body + 8 + 200 + 4).cast("int")  # 'AVI ' + hdrl + movi
+    hx = F.concat(F.lit(_FCC["RIFF"]), _le8(riff_size), F.lit(_FCC["AVI "]),
+                  F.lit(_FCC["LIST"]), _le8(F.lit(192)), hdrl, movi)
+    return d.select("doc_id", F.unhex(hx).alias("payload"))
+
+
 def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, fmt, payload binary)`` — real binary image containers,
     closed-form from ``doc_id`` (see classes above). ``payload`` is
