@@ -915,6 +915,23 @@ def _pii_redact(spark, sf):
     return pii_redact(d.select("doc_id", aug.alias("text")))
 
 
+def _corpus_profile(spark, sf):
+    """Corpus profiling for curation planning: per-language doc counts,
+    char totals and EXACT interpolated percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both the R-7 linear-interpolation
+    definition; rounded to 4dp to kill last-ulp float divergence).
+    One shuffle (the groupBy), partial-aggregated map-side."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def _decontam_overlap(spark, sf):
     """Benchmark decontamination: the 'eval set' is a closed-form slice
     of the corpus itself — for docs ≡0 (mod 41) with ≥11 tokens, the
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _c4_filters,
         "pii_redact": _pii_redact,
         "decontam_overlap": _decontam_overlap,
+        "corpus_profile": _corpus_profile,
         "rolling_fp": _rolling_fp,
         "surt_tokens": _surt_tokens,
     }
@@ -2016,6 +2034,14 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "c4_filters": _c4_sql(),
         "pii_redact": _pii_sql(),
         "decontam_overlap": _decontam_sql(),
+        "corpus_profile": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY lang
+""",
         "token_estimates": r"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -53,6 +53,9 @@ HEADLINE = [
     "lang_quality",
     "session_stats",
     "hourly_rollup",
+    "gopher_repetition",
+    "decontam_overlap",
+    "media_video",
 ]
 
 

@@ -84,8 +84,9 @@ def repetition_signals(docs: DataFrame, text_col: str = "text", id_col: str = "d
     share of all tokens (Gopher drops docs where it exceeds ~0.2 for
     2-grams etc.); the dup fractions are 1 - distinct/total over word
     2-/3-grams. Pure projection: tokenization, sort, fold and distinct
-    all run as higher-order functions inside whole-stage codegen — the
-    plan has zero exchanges and survives a 100 TB scan unchanged."""
+    all run as JVM-side higher-order-function expressions (no Python,
+    no explode) — the plan has zero exchanges and survives a 100 TB
+    scan unchanged."""
     text = F.col(text_col)
     toks = word_tokens(text)
     n = F.size(toks)

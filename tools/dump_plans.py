@@ -81,6 +81,19 @@ def main() -> None:
     cap("simhash_pairs_xx", qs["simhash_pairs_xx"](spark, sf),
         "production pair path: identical shape to the md5 twin with "
         "xxhash64 token hashing — bucket self-join, bit_count gate.")
+    cap("gopher_repetition", qs["gopher_repetition"](spark, sf),
+        "repetition signals as a ZERO-EXCHANGE projection: tokenize, "
+        "sort, fold (mode count) and distinct all run as JVM-side HOF "
+        "expressions — no Python, no explode-to-tokens intermediate.")
+    cap("decontam_overlap", qs["decontam_overlap"](spark, sf),
+        "benchmark gram set broadcast (eval sets are small by definition); "
+        "train side explodes once and only rows SURVIVING the broadcast "
+        "join shuffle — the 3 Exchanges carry the tiny bench-distinct and "
+        "the matched-gram set (two-phase count-distinct), never the corpus.")
+    cap("media_video", qs["media_video"](spark, sf),
+        "AVI payload build codegen'd on the scan; ONE ArrowEvalPython "
+        "(the container walk + DIB pixel decode — Python by design); "
+        "projection otherwise.")
 
     with open("PLANS.md", "w") as f:
         f.write(
