@@ -1270,6 +1270,54 @@ def parse_mp3_meta(data: bytes | None) -> tuple[int, int] | None:
     return total_samples * 1000 // rate0, rate0
 
 
+def parse_ogg_meta(data: bytes | None) -> tuple[int, int, int] | None:
+    """REAL Ogg container metadata: ``(duration_ms, sample_rate,
+    channels)`` from the page walk (RFC 3533: 'OggS' capture pattern,
+    64-bit LE granule position, lacing-value segment table) plus the
+    first packet's codec ID header — Vorbis identification header
+    (version/channels/rate) or OpusHead (channels; the granule clock is
+    fixed at 48 kHz and pre-skip is subtracted per RFC 7845). Duration
+    comes from the LAST page's granule position — VBR-correct by
+    construction. Header arithmetic only; sample DECODE stays a
+    declared stub (no MDCT codec in this sandbox)."""
+    if data is None or len(data) < 28 or data[:4] != b"OggS":
+        return None
+    try:
+        rate = channels = None
+        preskip = 0
+        granule_clock = None
+        last_granule = 0
+        pos = 0
+        first = True
+        while pos + 27 <= len(data) and data[pos : pos + 4] == b"OggS":
+            granule = int.from_bytes(data[pos + 6 : pos + 14], "little", signed=True)
+            nseg = data[pos + 26]
+            seg_table = data[pos + 27 : pos + 27 + nseg]
+            body = pos + 27 + nseg
+            size = sum(seg_table)
+            if granule >= 0:
+                last_granule = granule
+            if first:
+                pkt = data[body : body + size]
+                if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                    channels = pkt[11]
+                    rate = int.from_bytes(pkt[12:16], "little")
+                    granule_clock = rate
+                elif pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                    channels = pkt[9]
+                    preskip = int.from_bytes(pkt[10:12], "little")
+                    rate = int.from_bytes(pkt[12:16], "little")  # original rate
+                    granule_clock = 48000  # RFC 7845 §4: granules are 48 kHz
+                first = False
+            pos = body + size
+        if granule_clock is None or not rate:
+            return None
+        dur = max(0, last_granule - preskip) * 1000 // granule_clock
+        return dur, rate, channels
+    except Exception:
+        return None
+
+
 # --- FLAC (RFC 9639) --------------------------------------------------------
 
 
@@ -1514,12 +1562,14 @@ def extract_audio_features(
     ``decode_flac`` → exact duration from the sample count, per-window
     RMS loudness in dBFS via ``audio_rms_db``, fingerprint = md5 fold of
     the quantized loudness curve, ``sample_rate``/``rms_db_mean``
-    populated). MP3 gets REAL container metadata (``parse_mp3_meta``
-    frame walk → VBR-correct duration + sample_rate) with the loudness
-    DSP stubbed (fingerprint folds raw byte windows, NULL rms). Ogg —
-    no codec in this sandbox — keeps the declared estimate path:
-    duration from byte length at an assumed bitrate, NULL sample_rate.
-    MIME sniffing is real (magic bytes) on every path.
+    populated). MP3 and Ogg get REAL container metadata
+    (``parse_mp3_meta`` frame walk → VBR-correct duration +
+    sample_rate; ``parse_ogg_meta`` page walk + Vorbis-ID/OpusHead →
+    granule-exact duration + declared rate) with the loudness DSP
+    stubbed (fingerprint folds raw byte windows, NULL rms). Payloads
+    with neither parse keep the declared estimate path: duration from
+    byte length at an assumed bitrate, NULL sample_rate. MIME sniffing
+    is real (magic bytes) on every path.
     """
 
     def _features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1546,9 +1596,14 @@ def extract_audio_features(
                     )
                     continue
                 mime = sniff_mime(bytes(buf))
-                mp3 = parse_mp3_meta(bytes(buf)) if mime == "audio/mpeg" else None
-                if mp3 is not None:  # REAL container metadata, stub DSP
-                    dur, srate = mp3
+                meta = None
+                if mime == "audio/mpeg":
+                    meta = parse_mp3_meta(bytes(buf))
+                elif mime == "audio/ogg":
+                    ogg = parse_ogg_meta(bytes(buf))
+                    meta = ogg and ogg[:2]
+                if meta:  # REAL container metadata, stub DSP
+                    dur, srate = meta
                 else:
                     dur, srate = n * 8000 // bitrate_bps, None  # assumed bitrate
                 n_win = max(1, (n + bytes_per_window - 1) // bytes_per_window)

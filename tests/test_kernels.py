@@ -1428,3 +1428,80 @@ def test_mp3_frame_walk_duration():
     # junk-only / truncated → None
     assert parse_mp3_meta(b"\x00" * 64) is None
     assert parse_mp3_meta(None) is None
+
+
+def test_ogg_page_walk_metadata():
+    """parse_ogg_meta: hand-built RFC 3533 pages (independent writer —
+    lacing-value segment tables, signed 64-bit granules) carrying a
+    Vorbis identification header and an OpusHead; duration must come
+    from the LAST granule (Opus on the fixed 48 kHz clock minus
+    pre-skip, RFC 7845 §4)."""
+    from image_search_indexing_spark.operators.multimodal import (
+        parse_ogg_meta,
+        sniff_mime,
+    )
+
+    def page(granule, packets, serial=7):
+        segs = []
+        for p in packets:
+            n = len(p)
+            while n >= 255:
+                segs.append(255)
+                n -= 255
+            segs.append(n)
+        h = (
+            b"OggS" + bytes([0, 0])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little") + bytes(8)
+            + bytes([len(segs)]) + bytes(segs)
+        )
+        return h + b"".join(packets)
+
+    vorbis_id = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+        + (44100).to_bytes(4, "little") + bytes(14)
+    )
+    data = page(0, [vorbis_id]) + page(44100 * 3, [b"\x00" * 300])
+    assert sniff_mime(data) == "audio/ogg"
+    assert parse_ogg_meta(data) == (3000, 44100, 2)
+
+    opus = (
+        b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + bytes(3)
+    )
+    d2 = page(0, [opus]) + page(48000 * 2 + 312, [b"\x00" * 10])
+    assert parse_ogg_meta(d2) == (2000, 48000, 2)
+
+    # -1 granule (page holds no completed packet) must not move duration
+    d3 = page(0, [vorbis_id]) + page(-1, [b"\x00"]) + page(44100, [b"\x00"])
+    assert parse_ogg_meta(d3) == (1000, 44100, 2)
+
+    assert parse_ogg_meta(b"OggS" + bytes(30)) is None  # no codec header
+    assert parse_ogg_meta(b"not an ogg stream") is None
+    assert parse_ogg_meta(None) is None
+
+
+def test_audio_features_ogg_real_container_metadata(spark):
+    """extract_audio_features routes audio/ogg through parse_ogg_meta:
+    duration is granule-exact, sample_rate populated, rms NULL (DSP
+    stays a declared stub)."""
+    from image_search_indexing_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    vorbis_id = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+        + (8000).to_bytes(4, "little") + bytes(14)
+    )
+    segs = bytes([1, len(vorbis_id)])  # nseg count, then lacing value
+    p1 = (b"OggS" + bytes([0, 0]) + (0).to_bytes(8, "little")
+          + bytes(12) + segs + vorbis_id)
+    p2 = (b"OggS" + bytes([0, 0]) + (8000 * 5).to_bytes(8, "little")
+          + bytes(12) + bytes([1, 1]) + b"\x00")
+    df = spark.createDataFrame(
+        [("o1", bytearray(p1 + p2))], "media_id string, payload binary"
+    )
+    r = extract_audio_features(df).collect()[0]
+    assert r.mime_detected == "audio/ogg"
+    assert r.duration_ms_est == 5000 and r.sample_rate == 8000
+    assert r.rms_db_mean is None
