@@ -317,9 +317,9 @@ def _simhash_pairs_xx(spark, sf):
     """PRODUCTION pair-emitting SimHash: identical plan shape and pair
     contract to ``simhash_pairs`` but with xxhash64 token hashing over
     63 bits — the hash a 100 TB run would use (cheaper, JVM-native).
-    xxhash64 has no DuckDB equivalent, so this rows-only query rides the
-    md5 twin's oracle-proven contract (pinned equivalent by
-    ``test_simhash_pair_contract_md5_vs_xx``)."""
+    Oracle-exact since round 4: XXH64 is reproduced in pure DuckDB SQL
+    (``functions/xxh64_sql.py``), and the md5-twin equivalence stays
+    pinned by ``test_simhash_pair_contract_md5_vs_xx``."""
     from image_search_indexing_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
@@ -396,7 +396,8 @@ def _lang_quality(spark, sf):
 
 
 def _rolling_fp(spark, sf):
-    """xxhash64 content fingerprint — not SQL-expressible, rows-only check."""
+    """xxhash64 content fingerprint — oracle-exact via the SQL XXH64
+    (``functions/xxh64_sql.py``; rows-only until round 4)."""
     from image_search_indexing_spark.functions import text as TX
 
     d = _t(spark, sf, "documents")
@@ -1629,6 +1630,84 @@ def _simhash_pairs_sql(prefix_bits: int = 16, bits: int = 60, max_hamming: int =
     """
 
 
+def _xxh64_token_ctes() -> str:
+    """Shared CTE chain hashing every DISTINCT word token of ``documents``
+    with XXH64(seed 42) expressed in pure DuckDB SQL (HUGEINT mod-2^64
+    arithmetic; see ``functions/xxh64_sql.py``), then joined back so
+    multiplicity is preserved: yields ``th(doc_id, h)`` with ``h`` the
+    UNSIGNED hash in [0, 2^64) — bit ``b`` is ``(h // 2^b) % 2``."""
+    from image_search_indexing_spark.functions.xxh64_sql import xxh64_cte
+
+    toks = _TOKS.format(c="text")
+    return f"""
+        tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+        tt AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        dt AS (SELECT DISTINCT t FROM tt),
+        hx AS ({xxh64_cte('dt', 't', 'h', 't', signed_out=False)}),
+        th AS (SELECT tt.doc_id, hx.h FROM tt JOIN hx USING (t))"""
+
+
+def _xx_bits(bits: int) -> tuple[str, str]:
+    """(per-bit sign-sum items, simhash reassembly) over unsigned ``h``."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN coalesce(s{b}, 0) > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return sums, sim
+
+
+def _simhash_xx_sql(prefix_bits: int = 16, bits: int = 63) -> str:
+    """Oracle for the PRODUCTION xxhash64 SimHash bucket listing — the
+    63-bit sign-sum construction of ``operators/dedup.simhash64`` with
+    the token hash reproduced bit-for-bit in SQL (rows-only until round
+    4; the SQL XXH64 closed it)."""
+    sums, sim = _xx_bits(bits)
+    return f"""
+        WITH {_xxh64_token_ctes()},
+        bt AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+        sh AS (SELECT d.doc_id, ({sim})::BIGINT >> {bits - prefix_bits} AS bucket
+               FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id)
+        SELECT bucket, count(*) AS n_docs,
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        FROM sh GROUP BY bucket HAVING count(*) > 1
+    """
+
+
+def _simhash_pairs_xx_sql(prefix_bits: int = 16, bits: int = 63, max_hamming: int = 21) -> str:
+    """Oracle for the PRODUCTION pair-emitting SimHash (xxhash64 tokens,
+    63 bits): same bucket equi-join + exact Hamming gate as the md5
+    twin, token hash via the SQL XXH64."""
+    sums, sim = _xx_bits(bits)
+    return f"""
+        WITH {_xxh64_token_ctes()},
+        bt AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+        sh AS (SELECT d.doc_id, ({sim})::BIGINT AS sim
+               FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
+        b AS (SELECT doc_id, sim, sim >> {bits - prefix_bits} AS bucket FROM sh)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               bit_count(xor(a.sim, c.sim))::INTEGER AS hamming
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming}
+    """
+
+
+def _rolling_fp_sql() -> str:
+    """Oracle for the xxhash64 content fingerprint: normalize exactly
+    like ``functions/text.normalize_text`` (lower, collapse whitespace,
+    trim) and hash with the SQL XXH64, signed like Spark."""
+    from image_search_indexing_spark.functions.xxh64_sql import xxh64_cte
+
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+        WITH nrm AS (SELECT doc_id, {norm} AS t FROM documents),
+        h AS ({xxh64_cte('nrm', 't', 'fp64', 'doc_id')})
+        SELECT doc_id, fp64 FROM h
+    """
+
+
 def _grams_sql(t: str, k: int) -> str:
     """Word k-gram list over a token-list SQL expression — mirrors
     ``word_shingles`` exactly (singleton joined gram for 0 < n < k,
@@ -2028,7 +2107,10 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "text_dup_groups": _text_dup_groups_sql(),
         "dedup_champions": _dedup_champions_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),
+        "simhash_buckets": _simhash_xx_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "simhash_pairs_xx": _simhash_pairs_xx_sql(),
+        "rolling_fp": _rolling_fp_sql(),
         "lang_quality": _lang_quality_sql(),
         "gopher_repetition": _gopher_sql(),
         "c4_filters": _c4_sql(),

@@ -103,6 +103,38 @@ def test_xxhash64_matches_spark(spark):
         assert xxhash64(r["s"]) == r["h"]
 
 
+def test_xxh64_sql_matches_python():
+    """The DuckDB-SQL XXH64 (oracle side of simhash_buckets /
+    simhash_pairs_xx / rolling_fp) is bit-identical to the Python
+    reference (itself pinned to Spark above) across every length class
+    of the algorithm — empty, <4, <8, <32, one stripe, many stripes —
+    and across 1/2/3/4-byte UTF-8 sequences, plus a seeded fuzz sweep."""
+    import random
+
+    import duckdb
+
+    from image_search_indexing_spark.functions.xxh64_sql import xxh64_cte
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _éàü中文\U0001F600"
+    vals = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh", "hello world",
+        "x" * 31, "x" * 32, "x" * 33, "y" * 63, "z" * 64, "q" * 100,
+        "café", "€", "ação€中文", "\U0001F600" * 9,
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))) for _ in range(200)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    sql = "WITH h AS (" + xxh64_cte("t", "s", "hv", "id, s") + ") SELECT s, hv FROM h"
+    for s, hv in con.execute(sql).fetchall():
+        assert hv == xxhash64(s), f"SQL XXH64 mismatch for {s!r}"
+    # unsigned variant: same bits, no sign fold
+    sqlu = ("WITH h AS (" + xxh64_cte("t", "s", "hv", "id, s", signed_out=False)
+            + ") SELECT s, hv FROM h")
+    for s, hv in con.execute(sqlu).fetchall():
+        assert int(hv) == xxhash64(s) % (1 << 64)
+
+
 def test_lang_id(spark):
     assert _one(spark, TX.lang_id(F.col("v")), "the cat and the dog was in it") == "en"
     assert _one(spark, TX.lang_id(F.col("v")), "de que e o da do em um") in ("pt", "es")
