@@ -234,9 +234,10 @@ def _ann_topk_lsh(spark, sf):
 
 
 def _ivf_topk(spark, sf):
-    """IVF ANN — rows-only: the coarse quantizer's centroids are trained
-    from the data (deterministic sampled k-means), not seed literals, so
-    no static SQL can reproduce them; exactness is pinned by the unit test
+    """IVF ANN — oracle-exact since round 4: the coarse quantizer's
+    deterministic sampled k-means is UNROLLED as SQL CTE iterations in
+    the oracle (``_ivf_sql``), so the trained centroids are reproduced
+    relationally; exactness is additionally pinned by the unit test
     where nprobe == n_centroids must equal cosine_topk bit-for-bit."""
     from image_search_indexing_spark.operators.similarity import ivf_topk
 
@@ -734,6 +735,36 @@ def _media_audio(spark, sf):
     )
 
 
+def _media_phash(spark, sf):
+    """REAL pixel bytes through the perceptual-hash path (r4): closed-
+    form 24-bit BMPs with per-pixel content (``synthetic_media_bmp_
+    pixels``) are pixel-decoded by the REAL BMP path (``decode_bmp``:
+    bottom-up BGR row unpack) and hashed by the ALL-INTEGER DCT pHash
+    (``phash64``: fixed-point cosine table, integer resample/median),
+    while the oracle recomputes the identical hash relationally from the
+    generator's closed form — any decode, resample, DCT or median bug
+    flips hash bits and breaks the row."""
+    from image_search_indexing_spark.operators.multimodal import phash_frame
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_bmp_pixels
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return phash_frame(synthetic_media_bmp_pixels(d))
+
+
+def _media_phash_pairs(spark, sf):
+    """Visual near-dup pairs over the decoded-pixel pHashes: multi-index
+    Hamming banding (4×16-bit bands — EXACT recall at max_hamming 3 by
+    pigeonhole) + the exact ``bit_count(xor)`` verify. Same-content
+    images across distinct docs pair at Hamming 0; the generator's
+    R-channel variants land within the gate."""
+    from image_search_indexing_spark.operators.dedup import hamming_pairs
+    from image_search_indexing_spark.operators.multimodal import phash_frame
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_bmp_pixels
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return hamming_pairs(phash_frame(synthetic_media_bmp_pixels(d)), max_hamming=3)
+
+
 def _media_video(spark, sf):
     """REAL video bytes through the oracle gate (r4): closed-form AVI
     containers (``synthetic_media_avi`` — RIFF/hdrl/avih/strl/movi
@@ -966,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims": _media_dims,
         "media_audio": _media_audio,
         "media_video": _media_video,
+        "media_phash": _media_phash,
+        "media_phash_pairs": _media_phash_pairs,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -1708,6 +1741,130 @@ def _rolling_fp_sql() -> str:
     """
 
 
+def _phash_ctes() -> str:
+    """CTE chain recomputing the pHash of every closed-form BMP
+    relationally — the oracle twin of ``decode_bmp`` → ``phash64``.
+    Pixels come from ``synthetic_media_bmp_pixels``'s closed form (never
+    from bytes — that's the point: Spark must decode REAL bytes to the
+    same values); the 2-D DCT-II is two integer contractions against the
+    SAME fixed-point cosine table the UDF uses (``phash_dct_table`` —
+    one source of truth), so equality is exact, not ulp-lucky.  Yields
+    ``ph(doc_id, phash)``."""
+    from image_search_indexing_spark.operators.multimodal import phash_dct_table
+
+    tbl = phash_dct_table()
+    tvals = ", ".join(
+        f"({u}, {i}, {tbl[u][i]})" for u in range(len(tbl)) for i in range(len(tbl[0]))
+    )
+    return f"""
+        par AS (SELECT doc_id, doc_id % 41 AS k, doc_id % 3 AS v FROM documents),
+        dims AS (SELECT doc_id, k, v, 16 + 4 * (k % 5) AS w, 16 + 8 * (k % 3) AS h
+                 FROM par),
+        pix AS (SELECT doc_id, gi.i, gj.j,
+                       (77 * ((11*k + 2*(((2*gj.j+1)*w)//64) + 7*(((2*gi.i+1)*h)//64) + v) % 256)
+                      + 150 * ((7*k + 13*(((2*gj.j+1)*w)//64) + 3*(((2*gi.i+1)*h)//64)) % 256)
+                       + 29 * ((3*k + 5*(((2*gj.j+1)*w)//64) + 11*(((2*gi.i+1)*h)//64)) % 256)
+                       ) // 256 AS luma
+                FROM dims, range(0, 32) gi(i), range(0, 32) gj(j)),
+        tt(u, i, tv) AS (SELECT * FROM (VALUES {tvals})),
+        r1 AS (SELECT p.doc_id, t.u AS u, p.j AS j, sum(t.tv * p.luma)::BIGINT AS rv
+               FROM pix p JOIN tt t ON t.i = p.i GROUP BY p.doc_id, t.u, p.j),
+        dct AS (SELECT r.doc_id, r.u AS u, t.u AS v, sum(t.tv * r.rv)::BIGINT AS cv
+                FROM r1 r JOIN tt t ON t.i = r.j GROUP BY r.doc_id, r.u, t.u),
+        med AS (SELECT doc_id, list_sort(list(cv))[32] AS med FROM dct
+                WHERE u * 8 + v >= 1 GROUP BY doc_id),
+        ph AS (SELECT c.doc_id,
+                      sum(CASE WHEN u * 8 + v >= 1 AND cv > med
+                               THEN (1::BIGINT << (u * 8 + v - 1)) ELSE 0 END)::BIGINT
+                        AS phash
+               FROM dct c JOIN med USING (doc_id) GROUP BY c.doc_id)"""
+
+
+def _phash_sql() -> str:
+    return f"""
+        WITH {_phash_ctes()}
+        SELECT doc_id, phash, true AS decoded FROM ph
+    """
+
+
+def _phash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+        WITH {_phash_ctes()},
+        e AS (SELECT doc_id, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bv
+              FROM ph, range(0, 4) b(band)),
+        p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                     bit_count(xor(a.phash, c.phash))::INTEGER AS hamming
+              FROM e a JOIN e c ON a.band = c.band AND a.bv = c.bv
+                               AND a.doc_id < c.doc_id)
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
+    """
+
+
+def _ivf_sql(
+    dim: int = 64, n_centroids: int = 8, nprobe: int = 3, k: int = 5,
+    iters: int = 5, sample_cap: int = 4096,
+) -> str:
+    """Oracle for ``ivf_topk`` — the coarse quantizer's k-means TRAINING
+    unrolled as SQL (rows-only until round 4).  Each of the fixed
+    ``iters`` Lloyd iterations is one CTE block: assign every sample
+    vector to its nearest centroid (``list_distance`` is sqrt of the
+    squared distance numpy minimizes — monotone, same argmin; ties break
+    on centroid id exactly like ``np.argmin``), recompute per-dimension
+    means, and keep the previous centroid for empty clusters (mirroring
+    ``train_ivf_centroids``).  Init = the id-ordered sample's first
+    ``n_centroids`` vectors.  Outputs are integer ranks, so the ulp-level
+    float summation-order differences between numpy's pairwise sums and
+    DuckDB's sequential ones cannot surface unless two distances tie
+    exactly — and exact ties break identically by id on both sides."""
+    sqdist = (
+        "list_sum([({a}[j] - {b}[j]) * ({a}[j] - {b}[j])"
+        f" for j in range(1, {dim + 1})])"
+    )
+    it = []
+    for i in range(iters):
+        it.append(f"""
+        a{i} AS (SELECT s.id, cc.cid,
+                        row_number() OVER (PARTITION BY s.id
+                          ORDER BY {sqdist.format(a='s.v', b='cc.c')}, cc.cid) AS rn
+                 FROM smp s, cents{i} cc),
+        g{i} AS (SELECT a.cid, r.j, avg(s.v[r.j]) AS mu
+                 FROM a{i} a JOIN smp s USING (id), range(1, {dim + 1}) r(j)
+                 WHERE a.rn = 1 GROUP BY a.cid, r.j),
+        nc{i} AS (SELECT cid, list(mu ORDER BY j) AS c FROM g{i} GROUP BY cid),
+        cents{i + 1} AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                         FROM cents{i} p LEFT JOIN nc{i} n USING (cid))""")
+    return f"""
+        WITH corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id >= 16),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 16),
+        smp AS (SELECT neighbor_id AS id, cv AS v FROM corpus
+                ORDER BY neighbor_id LIMIT {sample_cap}),
+        cents0 AS (SELECT rn - 1 AS cid, v AS c FROM
+                   (SELECT row_number() OVER (ORDER BY id) AS rn, v FROM smp)
+                   WHERE rn <= {n_centroids}),
+        {",".join(it)},
+        ca AS (SELECT neighbor_id, cv, cid FROM (
+                 SELECT c.neighbor_id, c.cv, cc.cid,
+                        row_number() OVER (PARTITION BY c.neighbor_id
+                          ORDER BY {sqdist.format(a='c.cv', b='cc.c')}, cc.cid) AS rn
+                 FROM corpus c, cents{iters} cc) WHERE rn = 1),
+        qa AS (SELECT query_id, qv, cid FROM (
+                 SELECT q.query_id, q.qv, cc.cid,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY {sqdist.format(a='q.qv', b='cc.c')}, cc.cid) AS rn
+                 FROM q, cents{iters} cc) WHERE rn <= {nprobe}),
+        scored AS (SELECT query_id, neighbor_id,
+                          list_cosine_similarity(qv, cv) AS sim
+                   FROM ca JOIN qa USING (cid))
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
 def _grams_sql(t: str, k: int) -> str:
     """Word k-gram list over a token-list SQL expression — mirrors
     ``word_shingles`` exactly (singleton joined gram for 0 < n < k,
@@ -2108,6 +2265,9 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "dedup_champions": _dedup_champions_sql(),
         "simhash_buckets_md5": _simhash_md5_sql(),
         "simhash_buckets": _simhash_xx_sql(),
+        "ivf_topk": _ivf_sql(),
+        "media_phash": _phash_sql(),
+        "media_phash_pairs": _phash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),

@@ -323,6 +323,53 @@ def simhash_candidate_pairs(
     return pairs
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bits: int = 64,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs from ANY fixed-width Hamming-space hash
+    (pHash, SimHash, audio fingerprints) via multi-index banding
+    (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    Hashing", CVPR'12): split the hash into ``bits/band_bits`` bands;
+    by pigeonhole, two hashes within Hamming distance d share at least
+    one band verbatim whenever ``d < n_bands`` — so with the defaults
+    (4 bands) recall is EXACT for ``max_hamming <= 3``, and candidates
+    form only inside a (band, value) bucket (never n²). Pairs sharing
+    several bands dedupe with one ``distinct`` on the id pair; the exact
+    ``bit_count(xor)`` Hamming gate verifies every survivor. Returns
+    ``(id_a, id_b, hamming)``, id_a < id_b, streaming out of the join —
+    the same skew-safe shape as ``simhash_candidate_pairs``."""
+    n_bands = (bits + band_bits - 1) // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            for b in range(n_bands)
+        ]
+    )
+    e = df.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col).alias("__h"),
+        F.posexplode(bands).alias("band", "bv"),
+    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"), "band", "bv")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"), "band", "bv")
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard(a: Column, b: Column, shingle_words: int = 3) -> Column:
     """Exact word-shingle Jaccard similarity between two text columns."""
     sa, sb = TX.word_shingles(a, shingle_words), TX.word_shingles(b, shingle_words)

@@ -1138,6 +1138,96 @@ def size_gate(df: DataFrame) -> DataFrame:
     )
 
 
+# --- perceptual hash (pHash) -------------------------------------------------
+#
+# 64-bit DCT perceptual hash over DECODED pixels — the visual near-dup
+# signal the reference's byte-digest dedup (DupDigestMergerJob) cannot
+# give: re-encoded/recompressed copies of an image share a pHash at small
+# Hamming distance while their SHA-256 digests differ. Deliberately
+# ALL-INTEGER: luma and the nearest resample are integer arithmetic, and
+# the 2-D DCT-II uses a fixed-point cosine table (round(cos * 2^13)), so
+# the hash is exactly reproducible in any engine — the DuckDB oracle
+# recomputes it relationally with the SAME table and matches bit-for-bit
+# (no float summation-order hazards; integer matmul is associative).
+
+PHASH_Q = 13  # fixed-point fraction bits of the DCT table
+PHASH_N = 32  # resampled edge
+PHASH_K = 8   # retained low-frequency block
+
+
+def phash_dct_table() -> list[list[int]]:
+    """T[u][i] = round(cos((2i+1)·u·π/64) · 2^13) for u<8, i<32 — shared
+    verbatim by the Spark UDF and the oracle SQL generator."""
+    import math
+
+    return [
+        [round(math.cos((2 * i + 1) * u * math.pi / (2 * PHASH_N)) * (1 << PHASH_Q))
+         for i in range(PHASH_N)]
+        for u in range(PHASH_K)
+    ]
+
+
+def phash64(img: np.ndarray | None) -> int | None:
+    """64-bit pHash of an (h, w, 3) uint8 RGB array (None-safe).
+
+    luma = (77R + 150G + 29B) >> 8; nearest resample to 32×32 with
+    integer source coords ((2i+1)·h)//64; C = T·L·Tᵀ (int64, exact);
+    bits 0..62 set where the 63 non-DC coefficients of the 8×8
+    low-frequency block exceed their lower median (the 32nd smallest,
+    np.sort(vals)[31]) — bit (u·8+v)−1 for flat index u·8+v ≥ 1."""
+    if img is None:
+        return None
+    h, w = img.shape[:2]
+    if h < 1 or w < 1:
+        return None
+    px = img.astype(np.int64)
+    luma = (77 * px[:, :, 0] + 150 * px[:, :, 1] + 29 * px[:, :, 2]) >> 8
+    ys = ((2 * np.arange(PHASH_N, dtype=np.int64) + 1) * h) // (2 * PHASH_N)
+    xs = ((2 * np.arange(PHASH_N, dtype=np.int64) + 1) * w) // (2 * PHASH_N)
+    L = luma[ys][:, xs]
+    t = np.array(phash_dct_table(), dtype=np.int64)
+    C = t @ L @ t.T
+    flat = C.reshape(-1)
+    med = int(np.sort(flat[1:])[31])
+    out = 0
+    for idx in range(1, PHASH_K * PHASH_K):
+        if int(flat[idx]) > med:
+            out |= 1 << (idx - 1)
+    return out
+
+
+def phash_frame(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, phash, decoded) per binary payload: REAL pixel decode
+    (PNG/BMP/GIF/JPEG via ``decode_image``) → integer pHash. Arrow-
+    batched ``mapInPandas``; undecodable payloads keep NULL phash with
+    ``decoded = false``."""
+
+    def _hash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [phash64(decode_image(b)) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "decoded": [hv is not None for hv in hashes],
+                }
+            )
+
+    id_field = df.schema[id_col]
+    return df.mapInPandas(
+        _hash_batch,
+        T.StructType(
+            [
+                id_field,
+                T.StructField("phash", T.LongType()),
+                T.StructField("decoded", T.BooleanType()),
+            ]
+        ),
+    )
+
+
 def thumbnail_dims(width: Column, height: Column, max_side: int = MAX_THUMB_SIDE):
     """Reference thumbnail-box arithmetic EXACTLY (``ImageParse.java:
     146-163``): no resize at all unless BOTH dims ≥ max_side (either

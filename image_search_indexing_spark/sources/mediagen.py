@@ -246,6 +246,57 @@ def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return d.select("doc_id", F.unhex(hx).alias("payload"))
 
 
+# ---------------------------------------------------------------------------
+# Closed-form BMP payloads WITH PIXEL DATA (round 4): real bottom-up
+# 24-bit BGR bitmaps whose every pixel is a pure function of the row key,
+# feeding the perceptual-hash (pHash) visual near-dup path. Closed form
+# (mirrored in the media_phash oracle SQL):
+#   k = doc_id % 41   — content key: docs sharing k show the SAME base
+#                       image (visual duplicates across distinct docs)
+#   v = doc_id % 3    — variant: a global +v shift on the R channel
+#                       (mod 256) — a visually-near variant, so same-k
+#                       different-v pairs land at small pHash Hamming
+#                       distance while same-k same-v pairs are exact
+#   w = 16 + 4*(k % 5)  (16..32, always ≡ 0 mod 4 → no BMP row padding)
+#   h = 16 + 8*(k % 3)
+#   B(x,y) = (3k + 5x + 11y) % 256
+#   G(x,y) = (7k + 13x + 3y) % 256
+#   R(x,y) = (11k + 2x + 7y + v) % 256
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_bmp_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, payload binary)`` — real 24-bit BMPs, every pixel a
+    closed form of ``doc_id`` (see the layout comment above). Built
+    JVM-side: nested ``transform`` over the (bottom-up) row/column grid
+    concatenating per-pixel BGR hex, so payload generation itself stays
+    codegen'd and scales with the corpus."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    k = F.col("doc_id") % 41
+    v = F.col("doc_id") % 3
+    w = (F.lit(16) + (k % 5) * 4).cast("int")
+    h = (F.lit(16) + (k % 3) * 8).cast("int")
+
+    def pix_hex(x, y):
+        return F.format_string(
+            "%02X%02X%02X",
+            ((k * 3 + x * 5 + y * 11) % 256).cast("int"),
+            ((k * 7 + x * 13 + y * 3) % 256).cast("int"),
+            ((k * 11 + x * 2 + y * 7 + v) % 256).cast("int"),
+        )
+
+    body = F.array_join(
+        F.transform(
+            F.sequence(h - 1, F.lit(0), F.lit(-1)),  # bottom-up row order
+            lambda y: F.array_join(
+                F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix_hex(x, y)), ""
+            ),
+        ),
+        "",
+    )
+    return d.select("doc_id", F.unhex(F.concat(bmp_hex(w, h), body)).alias("payload"))
+
+
 def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, fmt, payload binary)`` — real binary image containers,
     closed-form from ``doc_id`` (see classes above). ``payload`` is

@@ -1537,3 +1537,87 @@ def test_audio_features_ogg_real_container_metadata(spark):
     assert r.mime_detected == "audio/ogg"
     assert r.duration_ms_est == 5000 and r.sample_rate == 8000
     assert r.rms_db_mean is None
+
+
+def test_phash_integer_invariants():
+    """pHash is all-integer: a flat image hashes to 0 (every AC
+    coefficient is 0, never > median 0), and a uniform brightness shift
+    (no wraparound) leaves every AC coefficient — hence the hash —
+    unchanged, while real content changes move it only slightly."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import phash64
+
+    flat = np.full((40, 56, 3), 77, np.uint8)
+    assert phash64(flat) == 0
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 200, (48, 64, 3)).astype(np.uint8)
+    assert phash64(img) == phash64(img + 40)  # luma-shift invariance
+    tweaked = img.copy()
+    tweaked[:2, :2] = 0
+    d = bin(phash64(img) ^ phash64(tweaked)).count("1")
+    assert 0 <= d <= 12  # local edit = small Hamming move
+    assert phash64(None) is None
+
+
+def test_phash_bmp_decode_pipeline(spark):
+    """Closed-form BMP bytes → REAL decode_bmp → phash64 equals the
+    hash of the directly-constructed pixel array (byte layout proof:
+    bottom-up BGR in the container, RGB in the array)."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_image,
+        phash64,
+        phash_frame,
+    )
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_bmp_pixels
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in phash_frame(synthetic_media_bmp_pixels(docs)).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"])
+                for r in synthetic_media_bmp_pixels(docs).collect()}
+    for doc_id in range(24):
+        k, v = doc_id % 41, doc_id % 3
+        w, h = 16 + 4 * (k % 5), 16 + 8 * (k % 3)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(11 * k + 2 * x + 7 * y + v) % 256,
+             (7 * k + 13 * x + 3 * y) % 256,
+             (3 * k + 5 * x + 11 * y) % 256], axis=2
+        ).astype(np.uint8)
+        dec = decode_image(payloads[doc_id])
+        assert dec is not None and np.array_equal(dec, img)
+        assert rows[doc_id]["decoded"] and rows[doc_id]["phash"] == phash64(img)
+
+
+def test_hamming_pairs_exact_recall(spark):
+    """Multi-index banding recall guarantee: with 4 bands, EVERY pair at
+    Hamming distance <= 3 must be found (pigeonhole) — checked against
+    the brute-force pair set over seeded hashes with planted near-dups."""
+    import itertools
+    import random
+
+    from image_search_indexing_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(99)
+    hashes = {}
+    for i in range(40):
+        hashes[i] = rng.getrandbits(63)
+    for i in range(40, 60):  # planted near-dups of earlier ids
+        base = hashes[i - 40]
+        flipped = base
+        for _ in range(rng.randint(0, 3)):
+            flipped ^= 1 << rng.randrange(63)
+        hashes[i] = flipped
+    df = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, phash long"
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, max_hamming=3).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want
