@@ -765,6 +765,24 @@ def _media_phash_pairs(spark, sf):
     return hamming_pairs(phash_frame(synthetic_media_bmp_pixels(d)), max_hamming=3)
 
 
+def _media_dup_groups(spark, sf):
+    """Full visual-dedup pipeline: decoded-pixel pHash → banded Hamming
+    pairs → connected components (large-star/small-star) — one group id
+    per document, the image-side analog of ``text_dup_groups`` (the
+    reference collapses a digest group the same way,
+    ``DupDigestMergerJob.java:151-174``, but only for byte-identical
+    payloads; this groups VISUALLY identical ones)."""
+    from image_search_indexing_spark.operators.dedup import connected_components, hamming_pairs
+    from image_search_indexing_spark.operators.multimodal import phash_frame
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_bmp_pixels
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    pairs = hamming_pairs(phash_frame(synthetic_media_bmp_pixels(d)), max_hamming=3)
+    return connected_components(pairs, nodes=d, node_col="doc_id").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
 def _media_video(spark, sf):
     """REAL video bytes through the oracle gate (r4): closed-form AVI
     containers (``synthetic_media_avi`` — RIFF/hdrl/avih/strl/movi
@@ -999,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video": _media_video,
         "media_phash": _media_phash,
         "media_phash_pairs": _media_phash_pairs,
+        "media_dup_groups": _media_dup_groups,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -1787,16 +1806,39 @@ def _phash_sql() -> str:
     """
 
 
-def _phash_pairs_sql(max_hamming: int = 3) -> str:
-    return f"""
-        WITH {_phash_ctes()},
+_PHASH_PAIR_CTES = """
         e AS (SELECT doc_id, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bv
               FROM ph, range(0, 4) b(band)),
         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
                      bit_count(xor(a.phash, c.phash))::INTEGER AS hamming
               FROM e a JOIN e c ON a.band = c.band AND a.bv = c.bv
-                               AND a.doc_id < c.doc_id)
+                               AND a.doc_id < c.doc_id)"""
+
+
+def _phash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+        WITH {_phash_ctes()},
+        {_PHASH_PAIR_CTES}
         SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
+    """
+
+
+def _phash_groups_sql(max_hamming: int = 3) -> str:
+    """Min-reachable-id components over the pHash pair graph (same
+    recursive-CTE oracle shape as ``_near_dup_components_sql``)."""
+    return f"""
+        WITH RECURSIVE {_phash_ctes()},
+        {_PHASH_PAIR_CTES},
+        pr AS (SELECT id_a, id_b FROM p WHERE hamming <= {max_hamming}),
+        sym AS (SELECT id_a AS u, id_b AS w FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT re.node, s.w FROM reach re JOIN sym s ON re.r = s.u
+        )
+        SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS group_id
+        FROM reach GROUP BY node
     """
 
 
@@ -2268,6 +2310,7 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "ivf_topk": _ivf_sql(),
         "media_phash": _phash_sql(),
         "media_phash_pairs": _phash_pairs_sql(),
+        "media_dup_groups": _phash_groups_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),

@@ -56,6 +56,7 @@ HEADLINE = [
     "gopher_repetition",
     "decontam_overlap",
     "media_video",
+    "media_phash_pairs",
 ]
 
 

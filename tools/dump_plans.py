@@ -94,6 +94,12 @@ def main() -> None:
         "AVI payload build codegen'd on the scan; ONE ArrowEvalPython "
         "(the container walk + DIB pixel decode — Python by design); "
         "projection otherwise.")
+    cap("media_phash_pairs", qs["media_phash_pairs"](spark, sf),
+        "visual near-dup: BMP payload build codegen'd on the scan; ONE "
+        "ArrowEvalPython (pixel decode + integer-DCT pHash — Python by "
+        "design); band explode, bucket self-join, bit_count gate and the "
+        "pair distinct all JVM-side — candidates form only inside a "
+        "(band, value) bucket, never n².")
 
     with open("PLANS.md", "w") as f:
         f.write(
