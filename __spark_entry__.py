@@ -765,6 +765,34 @@ def _media_phash_pairs(spark, sf):
     return hamming_pairs(phash_frame(synthetic_media_bmp_pixels(d)), max_hamming=3)
 
 
+def _media_audio_fp(spark, sf):
+    """REAL audio bytes through the fingerprint path (r4): closed-form
+    PCM WAVs with per-sample content (``synthetic_media_wav_samples``)
+    are decoded by the REAL RIFF walk (``decode_wav``) and fingerprinted
+    by the ALL-INTEGER Haitsma-Kalker construction (``audio_fingerprint``:
+    Walsh-Hadamard band energies, sign of the delta-of-delta), while the
+    oracle recomputes every subfingerprint relationally from the
+    generator's closed form."""
+    from image_search_indexing_spark.operators.multimodal import audio_fp_frame
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_wav_samples
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return audio_fp_frame(synthetic_media_wav_samples(d))
+
+
+def _media_audio_pairs(spark, sf):
+    """Audio near-dup candidates: the Haitsma-Kalker inverted-index
+    lookup as a join — frames sharing an exact subfingerprint pair up,
+    ranked by matched-frame count (same-content docs match all 12
+    frames; the generator's first-two-frame perturbation variants still
+    match >= 9)."""
+    from image_search_indexing_spark.operators.multimodal import audio_fp_frame, audio_fp_pairs
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_wav_samples
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return audio_fp_pairs(audio_fp_frame(synthetic_media_wav_samples(d)))
+
+
 def _media_dup_groups(spark, sf):
     """Full visual-dedup pipeline: decoded-pixel pHash → banded Hamming
     pairs → connected components (large-star/small-star) — one group id
@@ -1018,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": _media_phash,
         "media_phash_pairs": _media_phash_pairs,
         "media_dup_groups": _media_dup_groups,
+        "media_audio_fp": _media_audio_fp,
+        "media_audio_pairs": _media_audio_pairs,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -1842,6 +1872,67 @@ def _phash_groups_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _audio_fp_ctes() -> str:
+    """CTE chain recomputing every audio subfingerprint relationally —
+    the oracle twin of ``decode_wav`` → ``audio_fingerprint``. Samples
+    come from ``synthetic_media_wav_samples``'s closed form; the WHT
+    band energies use the SAME ±1 table the UDF uses
+    (``audio_wht_table``).  Yields ``afp(doc_id, frame_idx, fp)``."""
+    from image_search_indexing_spark.operators.multimodal import (
+        AUDIO_FP_BITS,
+        AUDIO_FP_FRAME,
+        audio_wht_table,
+    )
+
+    tbl = audio_wht_table()
+    wvals = ", ".join(
+        f"({c + 1}, {t}, {tbl[c][t]})"
+        for c in range(len(tbl)) for t in range(len(tbl[0]))
+    )
+    nfr = AUDIO_FP_FRAME
+    return f"""
+        apar AS (SELECT doc_id, doc_id % 29 AS kk, doc_id % 2 AS v FROM documents),
+        asmp AS (SELECT doc_id, g.g // {nfr} AS f, g.g % {nfr} AS t,
+                        ((((g.g + kk * 3) * (g.g + kk * 3)) % 251
+                          + (g.g * (kk % 13 + 1)) % 31 * 3
+                          + CASE WHEN v = 1 AND g.g < 64 AND g.g % 16 = 0
+                                 THEN 1 ELSE 0 END) % 256) - 128 AS s
+                 FROM apar, range(0, 416) g(g)),
+        wht(c, t, w) AS (SELECT * FROM (VALUES {wvals})),
+        aq AS (SELECT a.doc_id, a.f, w.c, sum(a.s * w.w)::BIGINT AS qc
+               FROM asmp a JOIN wht w ON w.t = a.t GROUP BY a.doc_id, a.f, w.c),
+        ae AS (SELECT doc_id, f, c - 1 AS b, qc * qc AS e FROM aq),
+        ad AS (SELECT x.doc_id, x.f, x.b, x.e - y.e AS d
+               FROM ae x JOIN ae y ON y.doc_id = x.doc_id AND y.f = x.f
+                                  AND y.b = x.b + 1
+               WHERE x.b < {AUDIO_FP_BITS}),
+        add_ AS (SELECT cur.doc_id, cur.f, cur.b, cur.d - prv.d AS dd
+                 FROM ad cur JOIN ad prv ON prv.doc_id = cur.doc_id
+                                        AND prv.f = cur.f - 1 AND prv.b = cur.b),
+        afp AS (SELECT doc_id, f::INTEGER AS frame_idx,
+                       sum(CASE WHEN dd > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                         AS fp
+                FROM add_ GROUP BY doc_id, f)"""
+
+
+def _audio_fp_sql() -> str:
+    return f"""
+        WITH {_audio_fp_ctes()}
+        SELECT doc_id, frame_idx, fp FROM afp
+    """
+
+
+def _audio_pairs_sql(min_matched: int = 5) -> str:
+    return f"""
+        WITH {_audio_fp_ctes()},
+        mm AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+                      a.frame_idx AS fa, b.frame_idx AS fb
+               FROM afp a JOIN afp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, count(*)::BIGINT AS n_matched
+        FROM mm GROUP BY id_a, id_b HAVING count(*) >= {min_matched}
+    """
+
+
 def _ivf_sql(
     dim: int = 64, n_centroids: int = 8, nprobe: int = 3, k: int = 5,
     iters: int = 5, sample_cap: int = 4096,
@@ -2311,6 +2402,8 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "media_phash": _phash_sql(),
         "media_phash_pairs": _phash_pairs_sql(),
         "media_dup_groups": _phash_groups_sql(),
+        "media_audio_fp": _audio_fp_sql(),
+        "media_audio_pairs": _audio_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),

@@ -1634,6 +1634,108 @@ def audio_rms_db(samples: np.ndarray, rate: int, window_ms: int = 1000) -> np.nd
     return out
 
 
+# --- audio fingerprint (Haitsma-Kalker shape, all-integer) -------------------
+#
+# Per-frame subfingerprints for audio near-dup: the classic Haitsma &
+# Kalker construction (ISMIR'02 — "A Highly Robust Audio Fingerprint
+# System": sign of the time-delta of the band-energy delta), with the
+# FFT filterbank replaced by a 32-point Walsh-Hadamard transform so the
+# whole pipeline is INTEGER arithmetic — samples are exact 8-bit ints,
+# WHT coefficients are ±1-weighted integer sums, energies are integer
+# squares — and therefore exactly reproducible relationally (the DuckDB
+# oracle recomputes every subfingerprint bit-for-bit, like pHash).
+# Matching keeps HK's lookup contract: candidates = docs sharing an
+# EXACT subfingerprint value (an inverted-index join at scale), ranked
+# by matched-frame count.
+
+AUDIO_FP_FRAME = 32   # WHT frame length (samples)
+AUDIO_FP_BITS = 16    # bits per subfingerprint (17 band energies)
+
+
+def audio_wht_table() -> list[list[int]]:
+    """W[c][t] = (-1)^popcount(c & t) for c in 1..17, t in 0..31 — the
+    sequency rows of the 32-point Walsh-Hadamard matrix used for band
+    energies; shared verbatim by the UDF and the oracle SQL generator."""
+    return [
+        [1 - 2 * (bin(c & t).count("1") & 1) for t in range(AUDIO_FP_FRAME)]
+        for c in range(1, AUDIO_FP_BITS + 2)
+    ]
+
+
+def audio_fingerprint(
+    samples: np.ndarray | None, max_frames: int = 16
+) -> list[tuple[int, int]]:
+    """[(frame_idx, fp)] subfingerprints of mono [-1, 1] samples.
+
+    Samples re-quantize to exact centered 8-bit ints (×128 — exact for
+    8-bit PCM input, deterministic quantization for anything else);
+    frame f = samples[32f : 32f+32]; E[f][b] = q(b+1)² with
+    q(c) = Σ_t s[t]·W[c][t]; bit b of frame f (f ≥ 1) is
+    (E[f][b]−E[f][b+1]) − (E[f−1][b]−E[f−1][b+1]) > 0."""
+    if samples is None:
+        return []
+    c = np.round(samples * 128.0).astype(np.int64)
+    n = min(len(c) // AUDIO_FP_FRAME, max_frames)
+    if n < 2:
+        return []
+    frames = c[: n * AUDIO_FP_FRAME].reshape(n, AUDIO_FP_FRAME)
+    w = np.array(audio_wht_table(), dtype=np.int64)
+    q = frames @ w.T                      # (n, 17) integer coefficients
+    e = q * q                             # band energies
+    d = e[:, : AUDIO_FP_BITS] - e[:, 1 : AUDIO_FP_BITS + 1]
+    dd = d[1:] - d[:-1]
+    fps = ((dd > 0).astype(np.int64) << np.arange(AUDIO_FP_BITS)).sum(axis=1)
+    return [(f + 1, int(v)) for f, v in enumerate(fps)]
+
+
+def audio_fp_frame(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id",
+    max_frames: int = 16,
+) -> DataFrame:
+    """(id, frame_idx, fp) per audio payload: REAL WAV decode →
+    integer subfingerprints. Arrow-batched ``mapInPandas``; undecodable
+    or too-short payloads contribute no rows."""
+
+    def _fp_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, fps = [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                dec = decode_wav(b)
+                for fr, fp in audio_fingerprint(dec[0] if dec else None, max_frames):
+                    ids.append(i)
+                    frames.append(fr)
+                    fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "frame_idx": frames, "fp": fps})
+
+    id_field = df.schema[id_col]
+    return df.mapInPandas(
+        _fp_batch,
+        T.StructType(
+            [
+                id_field,
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("fp", T.LongType()),
+            ]
+        ),
+    )
+
+
+def audio_fp_pairs(fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 5) -> DataFrame:
+    """Audio near-dup candidates: the HK inverted-index lookup as a join
+    — frames sharing an exact subfingerprint value pair up (never n²),
+    ranked by matched-frame count. ``(id_a, id_b, n_matched)``."""
+    a = fp_df.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
+    b = fp_df.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp", "fa", "fb").distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_matched"))
+        .where(F.col("n_matched") >= min_matched)
+    )
+
+
 AUDIO_SCHEMA = (
     "media_id string, mime_detected string, n_bytes int, "
     "duration_ms_est long, n_windows int, loudness_fp long, "

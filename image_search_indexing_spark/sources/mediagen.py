@@ -297,6 +297,50 @@ def synthetic_media_bmp_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
     return d.select("doc_id", F.unhex(F.concat(bmp_hex(w, h), body)).alias("payload"))
 
 
+# ---------------------------------------------------------------------------
+# Closed-form WAV payloads WITH VARYING SAMPLES (round 4): real 8-bit PCM
+# mono RIFF/WAVE files whose every sample is a pure function of the row
+# key, feeding the audio-fingerprint near-dup path. Closed form (mirrored
+# in the media_audio_fp oracle SQL):
+#   kk = doc_id % 29  — content key (docs sharing kk play the SAME audio)
+#   v  = doc_id % 2   — variant: +1 on samples g < 64 with g % 16 == 0
+#                       (perturbs only the first two WHT frames, so
+#                       same-kk cross-v pairs still match >= 9 of their
+#                       12 subfingerprints — the near-dup case)
+#   n  = 416 samples (13 frames of 32)  @ 8 kHz, unsigned 8-bit
+#   s(g) = (((g + 3·kk)²) % 251 + (g·(kk % 13 + 1)) % 31 · 3 + perturb) % 256
+#   (kk enters as a TIME SHIFT and a frequency multiplier, not a constant
+#   offset — a constant dies in the non-DC WHT bands and would make every
+#   content class fingerprint-identical)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_wav_samples(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, payload binary)`` — real PCM WAV files, every sample a
+    closed form of ``doc_id`` (see the layout comment above)."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    kk = F.col("doc_id") % 29
+    v = F.col("doc_id") % 2
+    n = 416
+
+    def sample_hex(g):
+        base = ((g + kk * 3) * (g + kk * 3)) % 251 + (g * (kk % 13 + 1)) % 31 * 3
+        pert = F.when((v == 1) & (g < 64) & (g % 16 == 0), 1).otherwise(0)
+        return F.format_string("%02X", ((base + pert) % 256).cast("int"))
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), sample_hex), ""
+    )
+    hdr = F.concat(
+        F.lit("52494646"), _le8(F.lit(n + 36)), F.lit("57415645"),  # RIFF/WAVE
+        F.lit("666D7420"), _le8(F.lit(16)),                          # fmt chunk
+        F.lit("0100" + "0100"), _le8(F.lit(8000)),                   # PCM, mono, 8 kHz
+        _le8(F.lit(8000)), F.lit("0100" + "0800"),                   # byterate, align, 8-bit
+        F.lit("64617461"), _le8(F.lit(n)),                           # data chunk
+    )
+    return d.select("doc_id", F.unhex(F.concat(hdr, body)).alias("payload"))
+
+
 def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, fmt, payload binary)`` — real binary image containers,
     closed-form from ``doc_id`` (see classes above). ``payload`` is

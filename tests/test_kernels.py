@@ -1621,3 +1621,43 @@ def test_hamming_pairs_exact_recall(spark):
         if d <= 3:
             want[(a, b)] = d
     assert got == want
+
+
+def test_audio_fingerprint_wav_pipeline(spark):
+    """Closed-form WAV bytes → REAL decode_wav → audio_fingerprint
+    equals the fingerprint of the directly-constructed sample array;
+    same-content docs match all 12 subfingerprints, the perturbed
+    variant still matches >= 9 (only the first two frames move), and
+    distinct content classes do NOT collide on >= 5 frames."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fp_frame,
+        audio_fp_pairs,
+    )
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_wav_samples
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    wavs = synthetic_media_wav_samples(docs)
+    got = {}
+    for r in audio_fp_frame(wavs).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["fp"]
+    for doc_id in range(64):
+        kk, v = doc_id % 29, doc_id % 2
+        g = np.arange(416, dtype=np.int64)
+        s = ((g + kk * 3) ** 2 % 251 + g * (kk % 13 + 1) % 31 * 3
+             + ((v == 1) & (g < 64) & (g % 16 == 0)).astype(np.int64)) % 256
+        want = dict(audio_fingerprint((s.astype(np.float64) - 128.0) / 128.0))
+        assert got[doc_id] == want and len(want) == 12
+    # doc 0 and doc 58 share (kk=0, v=0): all 12 frames match
+    assert got[0] == got[58]
+    # doc 0 vs doc 29 (kk=0, v=1): frames 3.. identical, frames 1-2 may move
+    same = sum(1 for f in got[0] if got[0][f] == got[29][f])
+    assert same >= 9
+    pairs = {(r["id_a"], r["id_b"]): r["n_matched"]
+             for r in audio_fp_pairs(audio_fp_frame(wavs)).collect()}
+    assert pairs[(0, 58)] >= 12 and (0, 29) in pairs
+    for (a, b), nm in pairs.items():
+        if a % 29 != b % 29:  # cross-content: no >= 5-frame collisions here
+            raise AssertionError(f"cross-content pair {(a, b)} matched {nm}")

@@ -94,6 +94,12 @@ def main() -> None:
         "AVI payload build codegen'd on the scan; ONE ArrowEvalPython "
         "(the container walk + DIB pixel decode — Python by design); "
         "projection otherwise.")
+    cap("media_audio_pairs", qs["media_audio_pairs"](spark, sf),
+        "audio near-dup: WAV payload build codegen'd on the scan; ONE "
+        "ArrowEvalPython (RIFF walk + integer WHT fingerprint — Python "
+        "by design); the Haitsma-Kalker lookup is an exact equi-join on "
+        "the subfingerprint value (inverted index at scale), count-agg "
+        "JVM-side.")
     cap("media_phash_pairs", qs["media_phash_pairs"](spark, sf),
         "visual near-dup: BMP payload build codegen'd on the scan; ONE "
         "ArrowEvalPython (pixel decode + integer-DCT pHash — Python by "
