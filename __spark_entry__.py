@@ -793,6 +793,35 @@ def _media_audio_pairs(spark, sf):
     return audio_fp_pairs(audio_fp_frame(synthetic_media_wav_samples(d)))
 
 
+def _media_video_fp(spark, sf):
+    """REAL video frames through the fingerprint path (r4): closed-form
+    AVI containers with PER-PIXEL frame content
+    (``synthetic_media_avi_pixels``) are walked and pixel-decoded by the
+    REAL path (movi chunk list → ``decode_dib_frame``) and every frame
+    is pHashed by the ALL-INTEGER DCT — the temporal fingerprint
+    sequence; the oracle recomputes every frame hash relationally."""
+    from image_search_indexing_spark.operators.multimodal import video_phash_frames
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_avi_pixels
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return video_phash_frames(synthetic_media_avi_pixels(d))
+
+
+def _media_video_pairs(spark, sf):
+    """Video near-dup candidates: frames sharing an exact pHash pair up
+    (the inverted-index join), ranked by matched-frame count — same-
+    content videos match all frames, the frame-0-perturbed variants
+    still match every later frame."""
+    from image_search_indexing_spark.operators.multimodal import (
+        video_phash_frames,
+        video_phash_pairs,
+    )
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_avi_pixels
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return video_phash_pairs(video_phash_frames(synthetic_media_avi_pixels(d)))
+
+
 def _media_dup_groups(spark, sf):
     """Full visual-dedup pipeline: decoded-pixel pHash → banded Hamming
     pairs → connected components (large-star/small-star) — one group id
@@ -1048,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_groups": _media_dup_groups,
         "media_audio_fp": _media_audio_fp,
         "media_audio_pairs": _media_audio_pairs,
+        "media_video_fp": _media_video_fp,
+        "media_video_pairs": _media_video_pairs,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -1790,21 +1821,45 @@ def _rolling_fp_sql() -> str:
     """
 
 
-def _phash_ctes() -> str:
-    """CTE chain recomputing the pHash of every closed-form BMP
-    relationally — the oracle twin of ``decode_bmp`` → ``phash64``.
-    Pixels come from ``synthetic_media_bmp_pixels``'s closed form (never
-    from bytes — that's the point: Spark must decode REAL bytes to the
-    same values); the 2-D DCT-II is two integer contractions against the
-    SAME fixed-point cosine table the UDF uses (``phash_dct_table`` —
-    one source of truth), so equality is exact, not ulp-lucky.  Yields
-    ``ph(doc_id, phash)``."""
+def _dct_hash_ctes(keys: str) -> str:
+    """The relational integer-DCT pHash machinery — the oracle twin of
+    ``phash64``, over an upstream CTE ``pix({keys}, i, j, luma)``: two
+    integer contractions against the SAME fixed-point cosine table the
+    UDF uses (``phash_dct_table`` — one source of truth), median pick,
+    bit assembly.  Equality is exact (integer matmul is associative),
+    not ulp-lucky.  Yields ``ph({keys}, phash)``.  ``keys`` is the
+    comma-joined grain — ``doc_id`` for stills, ``doc_id, frame_idx``
+    for video frames."""
     from image_search_indexing_spark.operators.multimodal import phash_dct_table
 
     tbl = phash_dct_table()
     tvals = ", ".join(
         f"({u}, {i}, {tbl[u][i]})" for u in range(len(tbl)) for i in range(len(tbl[0]))
     )
+    kp = ", ".join("p." + k.strip() for k in keys.split(","))
+    kr = ", ".join("r." + k.strip() for k in keys.split(","))
+    kc = ", ".join("c." + k.strip() for k in keys.split(","))
+    return f"""
+        tt(u, i, tv) AS (SELECT * FROM (VALUES {tvals})),
+        r1 AS (SELECT {kp}, t.u AS u, p.j AS j, sum(t.tv * p.luma)::BIGINT AS rv
+               FROM pix p JOIN tt t ON t.i = p.i GROUP BY {kp}, t.u, p.j),
+        dct AS (SELECT {kr}, r.u AS u, t.u AS v, sum(t.tv * r.rv)::BIGINT AS cv
+                FROM r1 r JOIN tt t ON t.i = r.j GROUP BY {kr}, r.u, t.u),
+        med AS (SELECT {keys}, list_sort(list(cv))[32] AS med FROM dct
+                WHERE u * 8 + v >= 1 GROUP BY {keys}),
+        ph AS (SELECT {kc},
+                      sum(CASE WHEN u * 8 + v >= 1 AND cv > med
+                               THEN (1::BIGINT << (u * 8 + v - 1)) ELSE 0 END)::BIGINT
+                        AS phash
+               FROM dct c JOIN med USING ({keys}) GROUP BY {kc})"""
+
+
+def _phash_ctes() -> str:
+    """CTE chain recomputing the pHash of every closed-form BMP
+    relationally — the oracle twin of ``decode_bmp`` → ``phash64``.
+    Pixels come from ``synthetic_media_bmp_pixels``'s closed form (never
+    from bytes — that's the point: Spark must decode REAL bytes to the
+    same values).  Yields ``ph(doc_id, phash)``."""
     return f"""
         par AS (SELECT doc_id, doc_id % 41 AS k, doc_id % 3 AS v FROM documents),
         dims AS (SELECT doc_id, k, v, 16 + 4 * (k % 5) AS w, 16 + 8 * (k % 3) AS h
@@ -1815,18 +1870,48 @@ def _phash_ctes() -> str:
                        + 29 * ((3*k + 5*(((2*gj.j+1)*w)//64) + 11*(((2*gi.i+1)*h)//64)) % 256)
                        ) // 256 AS luma
                 FROM dims, range(0, 32) gi(i), range(0, 32) gj(j)),
-        tt(u, i, tv) AS (SELECT * FROM (VALUES {tvals})),
-        r1 AS (SELECT p.doc_id, t.u AS u, p.j AS j, sum(t.tv * p.luma)::BIGINT AS rv
-               FROM pix p JOIN tt t ON t.i = p.i GROUP BY p.doc_id, t.u, p.j),
-        dct AS (SELECT r.doc_id, r.u AS u, t.u AS v, sum(t.tv * r.rv)::BIGINT AS cv
-                FROM r1 r JOIN tt t ON t.i = r.j GROUP BY r.doc_id, r.u, t.u),
-        med AS (SELECT doc_id, list_sort(list(cv))[32] AS med FROM dct
-                WHERE u * 8 + v >= 1 GROUP BY doc_id),
-        ph AS (SELECT c.doc_id,
-                      sum(CASE WHEN u * 8 + v >= 1 AND cv > med
-                               THEN (1::BIGINT << (u * 8 + v - 1)) ELSE 0 END)::BIGINT
-                        AS phash
-               FROM dct c JOIN med USING (doc_id) GROUP BY c.doc_id)"""
+        {_dct_hash_ctes('doc_id')}"""
+
+
+def _video_fp_ctes() -> str:
+    """CTE chain recomputing every VIDEO FRAME pHash relationally — the
+    oracle twin of the AVI movi walk → ``decode_dib_frame`` →
+    ``phash64``.  Pixels come from ``synthetic_media_avi_pixels``'s
+    closed form.  Yields ``ph(doc_id, frame_idx, phash)``."""
+    x = "(((2*gj.j+1)*w)//64)"
+    y = "(((2*gi.i+1)*h)//64)"
+    return f"""
+        vpar AS (SELECT doc_id, doc_id % 23 AS kk, doc_id % 2 AS v FROM documents),
+        vdim AS (SELECT doc_id, kk, v, 8 + 4 * (kk % 3) AS w, 8 + 8 * (kk % 2) AS h,
+                        3 + kk % 2 AS nf
+                 FROM vpar),
+        pix AS (SELECT doc_id, fr.f AS frame_idx, gi.i, gj.j,
+                       (77 * ((11*kk + 2*{x} + 7*{y} + 29*fr.f + 3*{y}*{y}
+                               + CASE WHEN v = 1 AND fr.f = 0 THEN 1 ELSE 0 END) % 256)
+                      + 150 * ((7*kk + 13*{x} + 3*{y} + 23*fr.f + 2*{x}*{x}) % 256)
+                       + 29 * ((3*kk + 5*{x} + 11*{y} + 17*fr.f + {x}*{y}) % 256)
+                       ) // 256 AS luma
+                FROM vdim, range(0, 32) gi(i), range(0, 32) gj(j), range(0, 4) fr(f)
+                WHERE fr.f < nf),
+        {_dct_hash_ctes('doc_id, frame_idx')}"""
+
+
+def _video_fp_sql() -> str:
+    return f"""
+        WITH {_video_fp_ctes()}
+        SELECT doc_id, frame_idx::INTEGER AS frame_idx, phash AS fp FROM ph
+    """
+
+
+def _video_pairs_sql(min_matched: int = 2) -> str:
+    return f"""
+        WITH {_video_fp_ctes()},
+        mm AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash,
+                      a.frame_idx AS fa, b.frame_idx AS fb
+               FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, count(*)::BIGINT AS n_matched
+        FROM mm GROUP BY id_a, id_b HAVING count(*) >= {min_matched}
+    """
 
 
 def _phash_sql() -> str:
@@ -2404,6 +2489,8 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "media_dup_groups": _phash_groups_sql(),
         "media_audio_fp": _audio_fp_sql(),
         "media_audio_pairs": _audio_pairs_sql(),
+        "media_video_fp": _video_fp_sql(),
+        "media_video_pairs": _video_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),

@@ -41,7 +41,12 @@ What is REAL as well (stdlib-only, no imaging library):
   video frame PIXEL decode for uncompressed DIB (``00db``: bottom-up
   BGR unpack) and MJPEG (``00dc`` via the from-scratch baseline-JPEG
   decoder) — ``extract_video_frames`` emits exact per-frame channel
-  means and container-true timestamps.
+  means and container-true timestamps;
+- perceptual hashing (``phash64``: all-integer DCT-II over decoded
+  pixels, fixed-point cosine table) and audio fingerprinting
+  (``audio_fingerprint``: Haitsma-Kalker sign-of-delta-of-delta over an
+  integer Walsh-Hadamard filterbank) — both exactly reproducible
+  relationally, feeding the visual/audio near-dup pair operators.
 
 What is STUBBED (this container has no PIL/torchaudio/pyav): WEBP pixel
 decode (header dims still real), mp3/ogg audio SAMPLE decode (mp3
@@ -1989,6 +1994,59 @@ def extract_video_frames(
             yield out
 
     return df.mapInPandas(_frames, VIDEO_FRAME_SCHEMA)
+
+
+def video_phash_frames(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id",
+    max_frames: int = 32,
+) -> DataFrame:
+    """(id, frame_idx, fp) per REAL decoded video frame: the AVI movi
+    walk + DIB/MJPEG pixel decode feeding the same all-integer DCT
+    pHash as still images — the temporal fingerprint sequence video
+    near-dup matching keys on. Arrow-batched ``mapInPandas``;
+    undecodable frames contribute no rows."""
+
+    def _vp_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[binary_col]):
+                if buf is None:
+                    continue
+                data = bytes(buf)
+                meta = parse_avi_meta(data)
+                if meta is None:
+                    continue
+                _upf, _total, _ns, w, h = meta
+                idx = 0
+                for _sno, code, fb in iter_avi_frames(data):
+                    if code == "wb" or idx >= max_frames:
+                        continue
+                    img = decode_avi_frame(code, fb, w, h)
+                    if img is not None:
+                        rows.append((mid, idx, phash64(img)))
+                    idx += 1
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "fp"])
+
+    id_field = df.schema[id_col]
+    return df.mapInPandas(
+        _vp_batch,
+        T.StructType(
+            [
+                id_field,
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("fp", T.LongType()),
+            ]
+        ),
+    )
+
+
+def video_phash_pairs(
+    fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 2
+) -> DataFrame:
+    """Video near-dup candidates: the same exact-subfingerprint
+    inverted-index join as ``audio_fp_pairs``, keyed on per-frame
+    pHashes — docs sharing ``min_matched`` frame fingerprints pair up."""
+    return audio_fp_pairs(fp_df, id_col=id_col, min_matched=min_matched)
 
 
 FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame binary"

@@ -265,6 +265,83 @@ def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def synthetic_media_avi_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, payload binary)`` — real AVI containers whose DIB
+    frames carry PER-PIXEL closed-form content (unlike
+    ``synthetic_media_avi``'s constant-color frames, whose pHash would
+    degenerate to 0), feeding the video-fingerprint near-dup path.
+    Closed form (mirrored in the media_video_fp oracle SQL):
+      kk = doc_id % 23  — content key (same kk = same video)
+      v  = doc_id % 2   — variant: +v on the R channel of FRAME 0 only,
+                          so same-kk cross-v docs still share every
+                          later frame fingerprint
+      w = 8 + 4·(kk % 3) (≡ 0 mod 4 → no row padding), h = 8 + 8·(kk % 2)
+      nf = 3 + kk % 2 frames (so cross-v pairs always share ≥ 2 frames);
+      frame f pixel (x, y) — the quadratic terms give the tiny frames
+      real spectral variety (pure gradients collide in the 8×8 DCT):
+      B = (3kk + 5x + 11y + 17f + xy) % 256
+      G = (7kk + 13x + 3y + 23f + 2x²) % 256
+      R = (11kk + 2x + 7y + 29f + 3y² + v·[f = 0]) % 256
+    """
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    kk = F.col("doc_id") % 23
+    v = F.col("doc_id") % 2
+    w = (F.lit(8) + (kk % 3) * 4).cast("int")
+    h = (F.lit(8) + (kk % 2) * 8).cast("int")
+    nf = (F.lit(3) + kk % 2).cast("int")
+    upf = F.lit(40000).cast("int")
+    fs = (w * h * 3).cast("int")
+    z4, z8 = "00000000", "0000000000000000"
+
+    avih = F.concat(
+        _le8(upf), F.lit(z4 * 3), _le8(nf), F.lit(z4),
+        _le8(F.lit(1)), F.lit(z4), _le8(w), _le8(h), F.lit(z8 * 2),
+    )
+    strh = F.concat(
+        F.lit(_FCC["vids"] + _FCC["DIB "] + z4 + z4), F.lit(z4),
+        _le8(upf), _le8(F.lit(1_000_000)), F.lit(z4), _le8(nf),
+        _le8(fs), F.lit("FFFFFFFF"), F.lit(z4), F.lit(z4), _le2h(w), _le2h(h),
+    )
+    strf = F.concat(
+        _le8(F.lit(40)), _le8(w), _le8(h),
+        F.lit("0100" + "1800" + z4), _le8(fs), F.lit(z4 * 4),
+    )
+    strl = F.concat(F.lit(_FCC["strl"] + _FCC["strh"]), _le8(F.lit(56)), strh,
+                    F.lit(_FCC["strf"]), _le8(F.lit(40)), strf)
+    hdrl = F.concat(F.lit(_FCC["hdrl"] + _FCC["avih"]), _le8(F.lit(56)), avih,
+                    F.lit(_FCC["LIST"]), _le8(F.lit(116)), strl)
+
+    def frame(f: int):
+        def pix_hex(x, y):
+            return F.format_string(
+                "%02X%02X%02X",  # DIB byte order is B, G, R
+                ((kk * 3 + x * 5 + y * 11 + 17 * f + x * y) % 256).cast("int"),
+                ((kk * 7 + x * 13 + y * 3 + 23 * f + x * x * 2) % 256).cast("int"),
+                ((kk * 11 + x * 2 + y * 7 + 29 * f + y * y * 3
+                  + (v if f == 0 else F.lit(0))) % 256).cast("int"),
+            )
+
+        body = F.array_join(
+            F.transform(
+                F.sequence(h - 1, F.lit(0), F.lit(-1)),  # bottom-up rows
+                lambda y: F.array_join(
+                    F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix_hex(x, y)), ""
+                ),
+            ),
+            "",
+        )
+        chunk = F.concat(F.lit(_FCC["00db"]), _le8(fs), body)
+        return F.when(nf > f, chunk).otherwise(F.lit(""))
+
+    movi_body = (F.lit(4) + nf * (fs + 8)).cast("int")
+    movi = F.concat(F.lit(_FCC["LIST"]), _le8(movi_body), F.lit(_FCC["movi"]),
+                    *[frame(f) for f in range(4)])
+    riff_size = (movi_body + 8 + 200 + 4).cast("int")
+    hx = F.concat(F.lit(_FCC["RIFF"]), _le8(riff_size), F.lit(_FCC["AVI "]),
+                  F.lit(_FCC["LIST"]), _le8(F.lit(192)), hdrl, movi)
+    return d.select("doc_id", F.unhex(hx).alias("payload"))
+
+
 def synthetic_media_bmp_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, payload binary)`` — real 24-bit BMPs, every pixel a
     closed form of ``doc_id`` (see the layout comment above). Built

@@ -132,3 +132,51 @@ def test_iter_avi_frames_skips_audio_chunks():
     # (sizes now inconsistent, but the walk is bounded by len(data))
     kinds = [(sno, code) for sno, code, _ in iter_avi_frames(data)]
     assert (1, "wb") in kinds and (0, "db") in kinds
+
+
+def test_video_phash_frames_and_pairs(spark):
+    """Closed-form AVI bytes → REAL movi walk + DIB decode → per-frame
+    pHash equals the hash of the directly-constructed frame; same-
+    content docs pair on every frame, frame-0-perturbed variants on all
+    later frames, and no cross-content pair reaches 2 matched frames."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        phash64,
+        video_phash_frames,
+        video_phash_pairs,
+    )
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_avi_pixels
+
+    docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    media = synthetic_media_avi_pixels(docs)
+    got = {}
+    for r in video_phash_frames(media).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["fp"]
+    for doc_id in range(48):
+        kk, v = doc_id % 23, doc_id % 2
+        w, h, nf = 8 + 4 * (kk % 3), 8 + 8 * (kk % 2), 3 + kk % 2
+        want = {}
+        for f in range(nf):
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(11 * kk + 2 * x + 7 * y + 29 * f + 3 * y * y
+                  + (v if f == 0 else 0)) % 256,
+                 (7 * kk + 13 * x + 3 * y + 23 * f + 2 * x * x) % 256,
+                 (3 * kk + 5 * x + 11 * y + 17 * f + x * y) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            want[f] = phash64(img)
+        assert got[doc_id] == want
+    pairs = {(r["id_a"], r["id_b"]): r["n_matched"]
+             for r in video_phash_pairs(video_phash_frames(media)).collect()}
+    for (a, b), nm in pairs.items():
+        assert a % 23 == b % 23, f"cross-content video pair {(a, b)}"
+        nf = 3 + (a % 23) % 2
+        if a % 2 == b % 2:
+            assert nm == nf  # identical videos: every frame matches
+        else:
+            # the +1 R perturbation on frame 0 is sub-luma-quantum for
+            # most pixels (luma >> 8), so frame 0 may or may not move
+            assert nm in (nf - 1, nf)
+    assert pairs, "same-content videos must pair"

@@ -100,6 +100,11 @@ def main() -> None:
         "by design); the Haitsma-Kalker lookup is an exact equi-join on "
         "the subfingerprint value (inverted index at scale), count-agg "
         "JVM-side.")
+    cap("media_video_pairs", qs["media_video_pairs"](spark, sf),
+        "video near-dup: AVI payload build codegen'd on the scan; ONE "
+        "ArrowEvalPython (movi walk + frame decode + per-frame pHash); "
+        "the frame-fingerprint inverted-index join and count-agg "
+        "JVM-side.")
     cap("media_phash_pairs", qs["media_phash_pairs"](spark, sf),
         "visual near-dup: BMP payload build codegen'd on the scan; ONE "
         "ArrowEvalPython (pixel decode + integer-DCT pHash — Python by "
