@@ -30,6 +30,10 @@ What is REAL as well (stdlib-only, no imaging library):
 - GIF pixel decode (``decode_gif``: full LZW sub-block decompression,
   global/local color tables, 4-pass interlace; first frame of animated
   streams — ImageIO ``read(0)`` semantics);
+- TIFF pixel decode (``decode_tiff``: 6.0 baseline — first-IFD tag walk
+  in both byte orders, strip assembly, None/PackBits compression, 8-bit
+  gray/RGB/palette/WhiteIsZero) and ICO (``decode_ico``: ICONDIR walk,
+  embedded-PNG or 24/32-bit DIB color plane of the largest icon);
 - FLAC decode (``decode_flac``, RFC 9639: frame headers, constant/
   verbatim/fixed/LPC subframes, Rice residuals with partitions+escape,
   all four stereo modes) feeding the same real RMS-loudness DSP as WAV.
@@ -971,9 +975,171 @@ def _jpeg_color(out: list[np.ndarray]) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
+# --- TIFF (6.0 baseline, strip layout) ---------------------------------------
+
+
+def _packbits_decode(buf: bytes, want: int) -> bytes | None:
+    """PackBits RLE (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(buf) and len(out) < want:
+        n = buf[i] - 256 if buf[i] > 127 else buf[i]
+        i += 1
+        if n >= 0:
+            out += buf[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(buf):
+                return None
+            out += bytes([buf[i]]) * (1 - n)
+            i += 1
+    return bytes(out[:want]) if len(out) >= want else None
+
+
+def decode_tiff(data: bytes | None) -> np.ndarray | None:
+    """REAL baseline-TIFF pixel decode → (h, w, 3) uint8 RGB: first-IFD
+    tag walk (both byte orders), strip assembly, Compression 1 (none)
+    and 32773 (PackBits), 8-bit samples — grayscale (BlackIsZero and
+    WhiteIsZero), RGB, and palette-color (ColorMap SHORTs >> 8), chunky
+    planar config. Anything fancier (LZW/JPEG-in-TIFF, tiles, 1/4/16-bit)
+    returns None — a parse failure, like the other decoders."""
+    if data is None or len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    try:
+        bo = "little" if data[:2] == b"II" else "big"
+
+        def u(b: bytes) -> int:
+            return int.from_bytes(b, bo)
+
+        ifd = u(data[4:8])
+        n = u(data[ifd : ifd + 2])
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            tags[u(data[e : e + 2])] = (u(data[e + 2 : e + 4]), u(data[e + 4 : e + 8]),
+                                        data[e + 8 : e + 12])
+
+        def values(tag: int) -> list[int] | None:
+            if tag not in tags:
+                return None
+            typ, cnt, inline = tags[tag]
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                return None
+            raw = inline[: cnt * size] if cnt * size <= 4 else (
+                data[u(inline) : u(inline) + cnt * size])
+            return [u(raw[k * size : (k + 1) * size]) for k in range(cnt)]
+
+        def one(tag: int, default: int | None = None) -> int | None:
+            v = values(tag)
+            return v[0] if v else default
+
+        w, h = one(256), one(257)
+        comp = one(259, 1)
+        photo = one(262, 1)
+        spp = one(277, 1)
+        bps = values(258) or [8] * spp
+        rps = one(278, h)
+        offs, cnts = values(273), values(279)
+        if (not w or not h or offs is None or cnts is None
+                or comp not in (1, 32773) or one(284, 1) != 1
+                or photo not in (0, 1, 2, 3) or any(b != 8 for b in bps)
+                or spp not in (1, 3) or len(offs) != len(cnts)):
+            return None
+        row_bytes = w * spp
+        raw = bytearray()
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            rows = min(rps, h - si * rps)
+            if rows <= 0:
+                break
+            strip = data[o : o + c]
+            if comp == 32773:
+                dec = _packbits_decode(strip, rows * row_bytes)
+                if dec is None:
+                    return None
+                raw += dec
+            else:
+                if len(strip) < rows * row_bytes:
+                    return None
+                raw += strip[: rows * row_bytes]
+        if len(raw) < h * row_bytes:
+            return None
+        px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+        if photo == 2:  # RGB
+            return np.ascontiguousarray(px)
+        if photo == 3:  # palette: ColorMap is 3 × 2^bps SHORTs, R then G then B
+            cmap = values(320)
+            if cmap is None or len(cmap) < 3 * 256:
+                return None
+            lut = (np.array(cmap[: 3 * 256], np.uint32).reshape(3, 256) >> 8).astype(np.uint8)
+            return np.ascontiguousarray(lut.T[px[:, :, 0]])
+        g = 255 - px if photo == 0 else px  # WhiteIsZero inverts
+        return np.repeat(g, 3, axis=2)
+    except Exception:
+        return None
+
+
+# --- ICO (PNG- or DIB-backed icons) -------------------------------------------
+
+
+def _decode_ico_dib(buf: bytes) -> np.ndarray | None:
+    """Icon DIB: a BITMAPINFOHEADER whose biHeight covers BOTH the XOR
+    (color) and AND (mask) bitmaps — decode the 24/32-bit bottom-up BGR(A)
+    color half, ignore the monochrome mask."""
+    if len(buf) < 40 or int.from_bytes(buf[0:4], "little") != 40:
+        return None
+    w = int.from_bytes(buf[4:8], "little", signed=True)
+    h2 = int.from_bytes(buf[8:12], "little", signed=True)
+    bits = int.from_bytes(buf[14:16], "little")
+    comp = int.from_bytes(buf[16:20], "little")
+    if comp != 0 or bits not in (24, 32) or w <= 0 or h2 <= 0 or h2 % 2:
+        return None
+    h = h2 // 2
+    nch = bits // 8
+    row = (w * nch + 3) // 4 * 4
+    if len(buf) < 40 + row * h:
+        return None
+    rows = np.frombuffer(buf, np.uint8, row * h, 40).reshape(h, row)
+    px = rows[:, : w * nch].reshape(h, w, nch)[::-1]
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def decode_ico(data: bytes | None) -> np.ndarray | None:
+    """REAL ICO pixel decode → (h, w, 3) uint8 RGB of the LARGEST icon:
+    ICONDIR walk, per-entry payload dispatch — embedded PNG delegates to
+    ``decode_png``, classic icons decode the 24/32-bit DIB color plane
+    (``_decode_ico_dib``). Palette/monochrome icons return None."""
+    if data is None or data[:4] != b"\x00\x00\x01\x00" or len(data) < 8:
+        return None
+    try:
+        n = int.from_bytes(data[4:6], "little")
+        best = None
+        for i in range(n):
+            e = 6 + 16 * i
+            if e + 16 > len(data):
+                break
+            w = data[e] or 256
+            h = data[e + 1] or 256
+            size = int.from_bytes(data[e + 8 : e + 12], "little")
+            off = int.from_bytes(data[e + 12 : e + 16], "little")
+            if best is None or w * h > best[0]:
+                best = (w * h, off, size)
+        if best is None:
+            return None
+        _, off, size = best
+        body = data[off : off + size]
+        if body[:8] == _PNG_SIG:
+            return decode_png(body)
+        return _decode_ico_dib(body)
+    except Exception:
+        return None
+
+
 def decode_image(data: bytes | None) -> np.ndarray | None:
-    """Dispatch pixel decode by magic bytes. PNG, BMP, GIF (LZW) and
-    JPEG (baseline AND progressive) are REAL; WEBP returns None here —
+    """Dispatch pixel decode by magic bytes. PNG, BMP, GIF (LZW), JPEG
+    (baseline AND progressive), TIFF (baseline strips, None/PackBits)
+    and ICO (PNG- or DIB-backed) are REAL; WEBP returns None here —
     its header dims still flow through ``parse_image_dims`` (the
     declared no-imaging-libs accommodation). Note the thumbnail path
     intercepts gif/svg BEFORE this dispatch (original-bytes passthrough,
@@ -989,6 +1155,10 @@ def decode_image(data: bytes | None) -> np.ndarray | None:
         return decode_jpeg(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(data)
     return None
 
 

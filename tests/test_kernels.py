@@ -1661,3 +1661,157 @@ def test_audio_fingerprint_wav_pipeline(spark):
     for (a, b), nm in pairs.items():
         if a % 29 != b % 29:  # cross-content: no >= 5-frame collisions here
             raise AssertionError(f"cross-content pair {(a, b)} matched {nm}")
+
+
+def _tiff_bytes(img, bo="<", compression=1, photometric=None, rows_per_strip=None,
+                palette=None):
+    """Independent spec-written TIFF writer (6.0 baseline, strip layout)
+    for decoder tests: chunky 8-bit, None or PackBits compression."""
+    import struct
+
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    photo = photometric if photometric is not None else (
+        3 if palette is not None else (2 if spp == 3 else 1))
+    rps = rows_per_strip or h
+    strips_px = [img[y: y + rps].tobytes() for y in range(0, h, rps)]
+
+    def packbits(b):
+        out = bytearray()
+        i = 0
+        while i < len(b):
+            run = 1
+            while i + run < len(b) and b[i + run] == b[i] and run < 128:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, b[i]])
+                i += run
+            else:
+                j = i + 1
+                while j < len(b) and (j + 1 >= len(b) or b[j + 1] != b[j]) and j - i < 128:
+                    j += 1
+                out += bytes([j - i - 1]) + b[i:j]
+                i = j
+        return bytes(out)
+
+    strips = [packbits(s) if compression == 32773 else s for s in strips_px]
+    e = "<" if bo == "<" else ">"
+    entries = []  # (tag, type, count, value_bytes_or_int, needs_offset)
+    entries.append((256, 3, 1, w))
+    entries.append((257, 3, 1, h))
+    bps = struct.pack(f"{e}{spp}H", *([8] * spp))
+    entries.append((258, 3, spp, bps if spp > 2 else 8))
+    entries.append((259, 3, 1, compression))
+    entries.append((262, 3, 1, photo))
+    entries.append((277, 3, 1, spp))
+    entries.append((278, 3, 1, rps))
+    # strip offsets/counts filled after layout
+    n_tags = len(entries) + 2 + (1 if palette is not None else 0)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    tail = bytearray()
+
+    def place(raw):
+        nonlocal tail
+        off = data_off + len(tail)
+        tail += raw
+        if len(tail) % 2:
+            tail += b"\0"
+        return off
+
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(place(s))
+    off_raw = struct.pack(f"{e}{len(strips)}I", *strip_offs)
+    cnt_raw = struct.pack(f"{e}{len(strips)}I", *[len(s) for s in strips])
+    entries.append((273, 4, len(strips), off_raw if len(strips) > 1 else strip_offs[0]))
+    entries.append((279, 4, len(strips), cnt_raw if len(strips) > 1 else len(strips[0])))
+    if palette is not None:  # palette: numpy (256,3) uint8 -> SHORTs << 8
+        pal = palette.astype("u2") << 8
+        raw = struct.pack(f"{e}768H", *pal.T.reshape(-1))
+        entries.append((320, 3, 768, raw))
+    out = bytearray()
+    out += (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(f"{e}I", ifd_off)
+    out += struct.pack(f"{e}H", n_tags)
+    for tag, typ, cnt, val in sorted(entries):
+        size = {3: 2, 4: 4}[typ] * cnt
+        if isinstance(val, bytes):
+            inline = val + b"\0" * (4 - len(val)) if size <= 4 else struct.pack(
+                f"{e}I", place(val))
+        else:
+            inline = struct.pack(f"{e}H2x" if typ == 3 else f"{e}I", val)
+        out += struct.pack(f"{e}HHI", tag, typ, cnt) + inline[:4].ljust(4, b"\0")
+    out += struct.pack(f"{e}I", 0)
+    out += tail
+    return bytes(out)
+
+
+def test_tiff_decode_real():
+    """Hand-built TIFF fixtures through the real decoder: RGB and gray,
+    both byte orders, multi-strip, PackBits, palette, WhiteIsZero."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import decode_image, decode_tiff
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 255, (13, 7, 3)).astype(np.uint8)
+    for bo in ("<", ">"):
+        for comp in (1, 32773):
+            for rps in (13, 4):
+                got = decode_tiff(_tiff_bytes(rgb, bo=bo, compression=comp,
+                                              rows_per_strip=rps))
+                assert got is not None and np.array_equal(got, rgb), (bo, comp, rps)
+    gray = rng.randint(0, 255, (9, 11)).astype(np.uint8)
+    g = decode_tiff(_tiff_bytes(gray, compression=32773))
+    assert np.array_equal(g, np.repeat(gray[:, :, None], 3, axis=2))
+    inv = decode_tiff(_tiff_bytes(gray, photometric=0))
+    assert np.array_equal(inv, np.repeat((255 - gray)[:, :, None], 3, axis=2))
+    pal = rng.randint(0, 255, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 255, (6, 5)).astype(np.uint8)
+    p = decode_tiff(_tiff_bytes(idx, palette=pal))
+    assert np.array_equal(p, pal[idx])
+    # dispatch + garbage safety
+    assert decode_image(_tiff_bytes(rgb)) is not None
+    assert decode_tiff(b"II*\x00" + b"\x00" * 3) is None
+
+
+def test_ico_decode_real():
+    """ICO fixtures: 32-bit DIB icon (XOR+AND planes) and embedded-PNG
+    icon, largest-entry selection."""
+    import struct
+
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import (
+        decode_ico,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (8, 8, 3)).astype(np.uint8)
+
+    def dib_entry(im):
+        h, w = im.shape[:2]
+        bgra = np.dstack([im[:, :, 2], im[:, :, 1], im[:, :, 0],
+                          np.full((h, w), 255, np.uint8)])
+        body = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, 0, 0, 0, 0, 0)
+        body += bgra[::-1].tobytes()          # bottom-up color plane
+        body += b"\0" * ((w + 31) // 32 * 4 * h)  # AND mask
+        return body
+
+    small = rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)
+    e1, e2 = dib_entry(small), dib_entry(img)
+    hdr = struct.pack("<HHH", 0, 1, 2)
+    off1 = 6 + 16 * 2
+    d1 = struct.pack("<BBBBHHII", 4, 4, 0, 0, 1, 32, len(e1), off1)
+    d2 = struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(e2), off1 + len(e1))
+    ico = hdr + d1 + d2 + e1 + e2
+    got = decode_ico(ico)
+    assert got is not None and np.array_equal(got, img)  # largest entry wins
+    assert np.array_equal(decode_image(ico), img)
+    png = encode_png(img)
+    ico_png = (struct.pack("<HHH", 0, 1, 1)
+               + struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(png), 22) + png)
+    assert np.array_equal(decode_ico(ico_png), img)
+    assert decode_ico(b"\x00\x00\x01\x00") is None
