@@ -793,6 +793,22 @@ def _media_audio_pairs(spark, sf):
     return audio_fp_pairs(audio_fp_frame(synthetic_media_wav_samples(d)))
 
 
+def _media_dims_ext(spark, sf):
+    """TIFF (both byte orders) and ICO containers through the REAL
+    header parsers (r4): ``parse_image_dims``'s first-IFD tag walk and
+    ICONDIR largest-entry selection read genuine bytes built closed-form
+    by ``synthetic_media_dims_ext``, while the oracle states the
+    generator's ground-truth dims — a byte-order or entry-selection bug
+    breaks the row."""
+    from image_search_indexing_spark.operators.multimodal import decode_image_meta
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_dims_ext
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return decode_image_meta(synthetic_media_dims_ext(d)).select(
+        "doc_id", "fmt", "width", "height", "mime_detected"
+    )
+
+
 def _media_video_fp(spark, sf):
     """REAL video frames through the fingerprint path (r4): closed-form
     AVI containers with PER-PIXEL frame content
@@ -1079,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_pairs": _media_audio_pairs,
         "media_video_fp": _media_video_fp,
         "media_video_pairs": _media_video_pairs,
+        "media_dims_ext": _media_dims_ext,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -2491,6 +2508,19 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "media_audio_pairs": _audio_pairs_sql(),
         "media_video_fp": _video_fp_sql(),
         "media_video_pairs": _video_pairs_sql(),
+        "media_dims_ext": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'tiff-le'
+                        WHEN doc_id % 3 = 1 THEN 'tiff-be'
+                        ELSE 'ico' END AS fmt,
+                   (CASE WHEN doc_id % 3 = 2 THEN least(16 + doc_id % 300, 255)
+                         ELSE 16 + doc_id % 300 END)::INTEGER AS width,
+                   (CASE WHEN doc_id % 3 = 2 THEN least(16 + doc_id % 200, 255)
+                         ELSE 16 + doc_id % 200 END)::INTEGER AS height,
+                   CASE WHEN doc_id % 3 = 2 THEN 'image/x-icon'
+                        ELSE 'image/tiff' END AS mime_detected
+            FROM documents
+        """,
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),

@@ -166,6 +166,79 @@ def jpeg_hex(w, h):
     )
 
 
+def _tiff_short_entry_hex(tag: int, val, le: bool):
+    """One 12-byte IFD entry (SHORT, count 1, inline value) as hex."""
+    t = f"{tag:04X}"
+    tag_h = F.lit(t[2:] + t[:2] if le else t)
+    typ_h = F.lit("0300" if le else "0003")
+    cnt_h = F.lit("01000000" if le else "00000001")
+    v = val.cast("int")
+    val_h = (
+        F.format_string("%02X%02X0000", v % 256, (v / 256).cast("int") % 256)
+        if le else F.format_string("%02X%02X0000", (v / 256).cast("int") % 256, v % 256)
+    )
+    return F.concat(tag_h, typ_h, cnt_h, val_h)
+
+
+def tiff_hex(w, h, le: bool = True):
+    """Minimal TIFF: header + one IFD with ImageWidth/ImageLength SHORTs
+    (inline values, next-IFD 0) — the bytes ``parse_image_dims``'s
+    first-IFD walk consumes, in either byte order."""
+    head = F.lit("49492A0008000000" if le else "4D4D002A00000008")
+    n = F.lit("0200" if le else "0002")
+    nxt = F.lit("00000000")
+    return F.concat(
+        head, n,
+        _tiff_short_entry_hex(256, w, le),
+        _tiff_short_entry_hex(257, h, le),
+        nxt,
+    )
+
+
+def ico_hex(w, h):
+    """Two-entry ICONDIR where the SECOND (larger, = w×h) entry must win
+    the largest-icon selection; dims bytes use the 0-means-256 rule.
+    Entry bodies are 4 placeholder bytes each (directory-only parse)."""
+    def entry(wc, hc, off):
+        wb = F.when(wc >= 256, F.lit(0)).otherwise(wc.cast("int"))
+        hb = F.when(hc >= 256, F.lit(0)).otherwise(hc.cast("int"))
+        return F.concat(
+            F.format_string("%02X%02X", wb, hb),
+            F.lit("0000" + "0100" + "2000" + "04000000"),
+            F.format_string("%02X000000", F.lit(off)),
+        )
+
+    return F.concat(
+        F.lit("000001000200"),
+        entry(F.lit(4), F.lit(4), 38),
+        entry(w, h, 42),
+        F.lit("00000000" + "00000000"),
+    )
+
+
+def synthetic_media_dims_ext(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, fmt, payload binary)`` — TIFF (both byte orders) and
+    ICO containers, dims a closed form of ``doc_id`` (mirrored in the
+    media_dims_ext oracle SQL): w = 16 + doc_id % 300 (exercises the
+    ICO 0-means-256 byte only below 256 — ICO rows cap at 255),
+    h = 16 + doc_id % 200; s = doc_id % 3 rotates tiff-le / tiff-be /
+    ico (ICO w/h use min(w, 255), min(h, 255) — the dir entry is a
+    byte)."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    s = F.col("doc_id") % 3
+    w = (F.lit(16) + F.col("doc_id") % 300).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % 200).cast("int")
+    iw = F.least(w, F.lit(255))
+    ih = F.least(h, F.lit(255))
+    fmt = F.when(s == 0, "tiff-le").when(s == 1, "tiff-be").otherwise(F.lit("ico"))
+    hx = (
+        F.when(s == 0, tiff_hex(w, h, le=True))
+        .when(s == 1, tiff_hex(w, h, le=False))
+        .otherwise(ico_hex(iw, ih))
+    )
+    return d.select("doc_id", fmt.alias("fmt"), F.unhex(hx).alias("payload"))
+
+
 # ---------------------------------------------------------------------------
 # Closed-form AVI video payloads (round 4): structurally valid VfW AVI
 # files — RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids/DIB ',
