@@ -793,6 +793,36 @@ def _media_audio_pairs(spark, sf):
     return audio_fp_pairs(audio_fp_frame(synthetic_media_wav_samples(d)))
 
 
+def _media_champions(spark, sf):
+    """End-to-end media curation: decoded-pixel pHash → banded Hamming
+    pairs → connected components → ONE champion per visual group
+    (min_by on (n_bytes DESC, doc_id) — keep the largest original, the
+    reference's champion tie-break pattern over bytes instead of ts) —
+    the media-side analog of ``dedup_champions``. Emits per-group
+    (group_id, champion, n_members, max_bytes)."""
+    from image_search_indexing_spark.operators.dedup import connected_components, hamming_pairs
+    from image_search_indexing_spark.operators.multimodal import phash_frame
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_bmp_pixels
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = synthetic_media_bmp_pixels(d)
+    sizes = media.select("doc_id", F.length("payload").alias("n_bytes"))
+    pairs = hamming_pairs(phash_frame(media), max_hamming=3)
+    groups = connected_components(pairs, nodes=d, node_col="doc_id").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+    return (
+        groups.join(sizes, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.min_by("doc_id", F.struct((-F.col("n_bytes")).alias("nb"), "doc_id"))
+            .alias("champion"),
+            F.count("*").alias("n_members"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+    )
+
+
 def _media_dims_ext(spark, sf):
     """TIFF (both byte orders) and ICO containers through the REAL
     header parsers (r4): ``parse_image_dims``'s first-IFD tag walk and
@@ -1096,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_fp": _media_video_fp,
         "media_video_pairs": _media_video_pairs,
         "media_dims_ext": _media_dims_ext,
+        "media_champions": _media_champions,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
         "stratified_sample": _stratified_sample,
@@ -2035,6 +2066,39 @@ def _audio_pairs_sql(min_matched: int = 5) -> str:
     """
 
 
+def _media_champions_sql(max_hamming: int = 3) -> str:
+    """Groups via the recursive pHash-pair reach, then per-group
+    champion = largest payload (header 54 + w·h·3 bytes, closed form),
+    ties to the lower doc_id."""
+    return f"""
+        WITH RECURSIVE {_phash_ctes()},
+        {_PHASH_PAIR_CTES},
+        pr AS (SELECT id_a, id_b FROM p WHERE hamming <= {max_hamming}),
+        sym AS (SELECT id_a AS u, id_b AS w FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT re.node, s.w FROM reach re JOIN sym s ON re.r = s.u
+        ),
+        grp AS (SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node),
+        sz AS (SELECT doc_id,
+                      54 + (16 + 4 * ((doc_id % 41) % 5))
+                         * (16 + 8 * ((doc_id % 41) % 3)) * 3 AS n_bytes
+               FROM documents),
+        g AS (SELECT grp.doc_id, grp.group_id, sz.n_bytes
+              FROM grp JOIN sz USING (doc_id)),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY group_id
+                         ORDER BY n_bytes DESC, doc_id) AS rn FROM g)
+        SELECT g.group_id::BIGINT AS group_id,
+               (SELECT doc_id FROM rk WHERE rk.group_id = g.group_id AND rn = 1)::BIGINT
+                 AS champion,
+               count(*)::BIGINT AS n_members,
+               max(g.n_bytes)::BIGINT AS max_bytes
+        FROM g GROUP BY g.group_id
+    """
+
+
 def _ivf_sql(
     dim: int = 64, n_centroids: int = 8, nprobe: int = 3, k: int = 5,
     iters: int = 5, sample_cap: int = 4096,
@@ -2508,6 +2572,7 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "media_audio_pairs": _audio_pairs_sql(),
         "media_video_fp": _video_fp_sql(),
         "media_video_pairs": _video_pairs_sql(),
+        "media_champions": _media_champions_sql(),
         "media_dims_ext": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'tiff-le'

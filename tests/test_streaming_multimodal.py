@@ -360,3 +360,34 @@ def test_synthetic_media_binary_roundtrip(spark):
     for r in rows:
         by_k.setdefault(r["doc_id"] % 97, set()).add(bytes(r["payload"]))
     assert all(len(v) == 1 for v in by_k.values())
+
+
+def test_streaming_phash_matches_batch(spark, tmpdir_path):
+    """Per-payload pHashing is micro-batch-safe: the same BMP payloads
+    streamed through phash_frame (file source → Arrow mapInPandas →
+    memory sink) produce exactly the batch hashes — the fingerprint
+    stage can ride a live ingest without a separate code path."""
+    from image_search_indexing_spark.operators.multimodal import phash_frame
+    from image_search_indexing_spark.sources.mediagen import synthetic_media_bmp_pixels
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = synthetic_media_bmp_pixels(docs)
+    src = f"{tmpdir_path}/phash_src"
+    media.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(media.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        phash_frame(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_phash")
+        .option("checkpointLocation", f"{tmpdir_path}/phash_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r["phash"] for r in spark.sql("SELECT * FROM t_phash").collect()}
+    want = {r["doc_id"]: r["phash"] for r in phash_frame(media).collect()}
+    assert got == want and len(want) == 40
