@@ -703,7 +703,7 @@ def _media_audio(spark, sf):
     the −200 dBFS floor. Any header mis-parse, sample-scaling or
     windowing bug breaks the row."""
     from image_search_indexing_spark.operators.multimodal import extract_audio_features
-    from image_search_indexing_spark.sources.mediagen import _le8
+    from image_search_indexing_spark.sources.mediagen import wav_header_hex
 
     d = _t(spark, sf, "documents").select("doc_id")
     k = F.col("doc_id") % 97
@@ -714,14 +714,9 @@ def _media_audio(spark, sf):
     )
     c = (F.lit(128) + amp).cast("int")
     n = (F.lit(2000) + (k * 37) % 4000).cast("int")
-    hdr = F.concat(
-        F.lit("52494646"), _le8(n + 36), F.lit("57415645"),      # RIFF/WAVE
-        F.lit("666D7420"), _le8(F.lit(16)),                       # fmt chunk
-        F.lit("0100"), F.lit("0100"), _le8(F.lit(8000)),          # PCM, mono, 8 kHz
-        _le8(F.lit(8000)), F.lit("0100"), F.lit("0800"),          # byterate, align, 8-bit
-        F.lit("64617461"), _le8(n),                               # data chunk
+    payload = F.unhex(
+        F.concat(wav_header_hex(n), F.repeat(F.format_string("%02X", c), n))
     )
-    payload = F.unhex(F.concat(hdr, F.repeat(F.format_string("%02X", c), n)))
     media = d.select(F.col("doc_id").cast("string").alias("media_id"), payload.alias("payload"))
     feats = extract_audio_features(media)
     return feats.select(
@@ -1954,11 +1949,10 @@ def _video_fp_sql() -> str:
 def _video_pairs_sql(min_matched: int = 2) -> str:
     return f"""
         WITH {_video_fp_ctes()},
-        mm AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash,
-                      a.frame_idx AS fa, b.frame_idx AS fb
+        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx AS fa
                FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, count(*)::BIGINT AS n_matched
-        FROM mm GROUP BY id_a, id_b HAVING count(*) >= {min_matched}
+        SELECT id_a, id_b, count(DISTINCT fa)::BIGINT AS n_matched
+        FROM mm GROUP BY id_a, id_b HAVING count(DISTINCT fa) >= {min_matched}
     """
 
 
@@ -2058,11 +2052,10 @@ def _audio_fp_sql() -> str:
 def _audio_pairs_sql(min_matched: int = 5) -> str:
     return f"""
         WITH {_audio_fp_ctes()},
-        mm AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
-                      a.frame_idx AS fa, b.frame_idx AS fb
+        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx AS fa
                FROM afp a JOIN afp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, count(*)::BIGINT AS n_matched
-        FROM mm GROUP BY id_a, id_b HAVING count(*) >= {min_matched}
+        SELECT id_a, id_b, count(DISTINCT fa)::BIGINT AS n_matched
+        FROM mm GROUP BY id_a, id_b HAVING count(DISTINCT fa) >= {min_matched}
     """
 
 
@@ -2252,15 +2245,20 @@ def _pii_sql() -> str:
             || (CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || (doc_id % 256)
                      || '.0.' || (doc_id % 250 + 1) ELSE '' END) AS text
           FROM documents)
+        , st AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM aug),
+        st2 AS (
+          SELECT doc_id, text, t1,
+                 regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2
+          FROM st)
         SELECT doc_id,
                len(regexp_extract_all(text, '{_EMAIL_RE}'))::INT AS n_emails,
-               len(regexp_extract_all(text, '{_PHONE_RE}'))::INT AS n_phones,
-               len(regexp_extract_all(text, '{_IPV4_RE}'))::INT AS n_ips,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_IPV4_RE}', '<IP>', 'g'),
-                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
-        FROM aug
+               len(regexp_extract_all(t2, '{_PHONE_RE}'))::INT AS n_phones,
+               len(regexp_extract_all(t1, '{_IPV4_RE}'))::INT AS n_ips,
+               regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM st2
     """
 
 

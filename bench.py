@@ -287,14 +287,20 @@ def check_streaming(spark) -> dict:
         "budget_seconds": budget_sec,
     }
     shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs("BENCH", exist_ok=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH/STREAMCHECK.json"), "w") as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "STREAMCHECK.json"), "w") as f:
         json.dump(out, f, indent=1)
     return out
 
 
 def run_leg(cpus: int) -> dict:
-    """Run one frontier-only leg in a fresh JVM at the given parallelism."""
+    """Run one frontier-only leg in a fresh JVM at the given parallelism.
+
+    The per-leg timeout defaults to 3600 s; a low-width leg over the 13M
+    corpus sits near 2500-2700 s on a quiet box and can cross 3600 under
+    co-tenant load, so SPARK_GRAFT_LEG_TIMEOUT lets a scaling run extend
+    it instead of losing the whole pair."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_STAGE_STATS="1")
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--frontier-only"],
@@ -302,7 +308,7 @@ def run_leg(cpus: int) -> dict:
         text=True,
         env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=3600,
+        timeout=int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "3600")),
     )
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)

@@ -82,7 +82,10 @@ def utf8_bytes_sql(s: str) -> str:
 
     DuckDB's ``ord`` yields the code point; the CASE ladder re-encodes it
     (1-4 byte sequences) so the hash covers non-ASCII exactly like
-    Spark's UTF8String bytes."""
+    Spark's UTF8String bytes. NULL maps to ``[]`` deliberately so the
+    downstream integer layers never see NULL — callers that need Spark's
+    NULL semantics (``xxhash64(NULL) = seed``) must branch on the
+    original column, as ``xxh64_cte`` does with its null flag."""
     cp = "ord(ch)"
     enc = (
         f"CASE WHEN {cp} < 128 THEN [{cp}] "
@@ -195,8 +198,18 @@ def xxh64_cte(
     then need no assumptions about shift semantics on negative BIGINTs.
     Usable as a CTE definition body."""
     bys = utf8_bytes_sql(string_col)
-    inner = f"(SELECT {keep}, {bys} AS xxb FROM {src})"
+    # NULL input: Spark's xxhash64 returns the seed unchanged for a NULL
+    # column (it hashes zero bytes, not '' ) — carry a null flag beside
+    # the byte list (which maps NULL -> [] purely so the arithmetic
+    # layers stay null-free) and emit the seed for flagged rows.
+    inner = (
+        f"(SELECT {keep}, {bys} AS xxb,"
+        f" (({string_col}) IS NULL) AS xxnull FROM {src})"
+    )
     for layer in xxh64_layers("xxb", "xx", seed):
         inner = f"(SELECT *, {', '.join(layer)} FROM {inner})"
     out = signed("xxh") if signed_out else "xxh"
-    return f"SELECT {keep}, {out} AS {out_col} FROM {inner}"
+    return (
+        f"SELECT {keep}, CASE WHEN xxnull THEN {seed} ELSE {out} END"
+        f" AS {out_col} FROM {inner}"
+    )

@@ -143,24 +143,25 @@ def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     addresses. Returns ``(id, n_emails, n_phones, n_ips, redacted)``
     where ``redacted`` replaces each span with a typed placeholder.
 
-    Order matters: IPv4 is replaced BEFORE phones (both are digit runs,
-    but the patterns are disjoint) and emails first so the address's
-    host part can't be half-eaten by the IP rule. Chained
-    ``regexp_replace`` — single projection, zero shuffles, and the
-    identical regexes run in the DuckDB oracle (RE2-safe subset)."""
+    Order matters: emails are replaced first so an address whose host
+    part embeds a dotted quad (``a@1.2.3.4.co``) can't be half-eaten by
+    the IP rule, then IPv4, then phones. The patterns are NOT mutually
+    disjoint (email vs IPv4 overlap exactly as above), so each count is
+    taken on the text AFTER the earlier replacements ran — ``n_ips`` /
+    ``n_phones`` equal the number of ``<IP>`` / ``<PHONE>`` placeholders
+    actually present in ``redacted``, never a span already consumed by a
+    higher-priority rule. Chained ``regexp_replace`` — single
+    projection, zero shuffles, and the identical regexes run in the
+    DuckDB oracle (RE2-safe subset)."""
     text = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
-        ),
-        _PHONE_RE,
-        "<PHONE>",
-    )
+    t1 = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(t2, _PHONE_RE, "<PHONE>")
     return docs.select(
         id_col,
         F.regexp_count(text, F.lit(_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(text, F.lit(_PHONE_RE)).alias("n_phones"),
-        F.regexp_count(text, F.lit(_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t2, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t1, F.lit(_IPV4_RE)).alias("n_ips"),
         redacted.alias("redacted"),
     )
 

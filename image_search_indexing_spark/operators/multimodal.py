@@ -90,10 +90,24 @@ _MAGIC = [
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
     (b"ID3", "audio/mpeg"),
-    (b"\xff\xfb", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
 ]
+
+
+def _is_mpeg_audio_sync(data: bytes) -> bool:
+    """True when the first 4 bytes form a VALID MPEG audio frame header —
+    the same first-frame checks ``parse_mp3_meta`` applies (11-bit sync,
+    non-reserved version/layer, legal bitrate/samplerate indices), so any
+    MPEG-1/2/2.5 Layer I-III file (with or without CRC, e.g. 0xFF 0xFA,
+    0xFF 0xF3) sniffs as audio/mpeg, not just the 0xFF 0xFB common case."""
+    if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE0) != 0xE0:
+        return False
+    vbits = (data[1] >> 3) & 3
+    lbits = (data[1] >> 1) & 3
+    br_idx = data[2] >> 4
+    sr_idx = (data[2] >> 2) & 3
+    return vbits != 1 and lbits != 0 and br_idx not in (0, 15) and sr_idx != 3
 
 
 def sniff_mime(data: bytes | None) -> str | None:
@@ -110,6 +124,8 @@ def sniff_mime(data: bytes | None) -> str | None:
                 if data[8:12] != b"WEBP":
                     continue
             return mime
+    if _is_mpeg_audio_sync(data):
+        return "audio/mpeg"
     if data[4:8] == b"ftyp":  # ISO BMFF: size(4) + 'ftyp' + major brand
         brand = data[8:12]
         return "audio/mp4" if brand in (b"M4A ", b"M4B ") else "video/mp4"
@@ -185,8 +201,10 @@ _SVG_H = re.compile(rb'\sheight="(\d+)(?:px)?"')
 
 
 def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
-    """TIFF (width, height) via the first IFD: tags 256/257, SHORT or
-    LONG values, both byte orders (II/MM)."""
+    """TIFF (width, height) via the first IFD: tags 256/257, BYTE/SHORT/
+    LONG values, both byte orders (II/MM). Other tag types (e.g. RATIONAL,
+    whose inline 4 bytes are a value OFFSET, not a value) are treated as a
+    parse failure rather than misread as a dimension."""
     bo = "little" if data[:2] == b"II" else "big"
     ifd = int.from_bytes(data[4:8], bo)
     if ifd + 2 > len(data):
@@ -200,8 +218,12 @@ def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
         tag = int.from_bytes(data[e : e + 2], bo)
         typ = int.from_bytes(data[e + 2 : e + 4], bo)
         if tag in (256, 257):
-            # value fits inline: SHORT (3) reads 2 bytes, LONG (4) reads 4
-            v = int.from_bytes(data[e + 8 : e + 10] if typ == 3 else data[e + 8 : e + 12], bo)
+            # value fits inline only for BYTE(1)/SHORT(3)/LONG(4); any other
+            # type stores an offset in these 4 bytes — skip, don't misread
+            if typ not in (1, 3, 4):
+                continue
+            width = {1: 1, 3: 2, 4: 4}[typ]
+            v = int.from_bytes(data[e + 8 : e + 8 + width], bo)
             if tag == 256:
                 w = v
             else:
@@ -1342,6 +1364,18 @@ def phash_dct_table() -> list[list[int]]:
     ]
 
 
+# hoisted: phash64 runs once per decoded image/frame in the Arrow batch
+# loop — the table is a pure function of module constants
+_PHASH_DCT = None
+
+
+def _phash_dct() -> np.ndarray:
+    global _PHASH_DCT
+    if _PHASH_DCT is None:
+        _PHASH_DCT = np.array(phash_dct_table(), dtype=np.int64)
+    return _PHASH_DCT
+
+
 def phash64(img: np.ndarray | None) -> int | None:
     """64-bit pHash of an (h, w, 3) uint8 RGB array (None-safe).
 
@@ -1360,7 +1394,7 @@ def phash64(img: np.ndarray | None) -> int | None:
     ys = ((2 * np.arange(PHASH_N, dtype=np.int64) + 1) * h) // (2 * PHASH_N)
     xs = ((2 * np.arange(PHASH_N, dtype=np.int64) + 1) * w) // (2 * PHASH_N)
     L = luma[ys][:, xs]
-    t = np.array(phash_dct_table(), dtype=np.int64)
+    t = _phash_dct()
     C = t @ L @ t.T
     flat = C.reshape(-1)
     med = int(np.sort(flat[1:])[31])
@@ -1571,7 +1605,11 @@ def parse_ogg_meta(data: bytes | None) -> tuple[int, int, int] | None:
                 elif pkt[:8] == b"OpusHead" and len(pkt) >= 19:
                     channels = pkt[9]
                     preskip = int.from_bytes(pkt[10:12], "little")
-                    rate = int.from_bytes(pkt[12:16], "little")  # original rate
+                    # informational original rate; 0 = unknown per RFC 7845
+                    # §5.1 — the granule clock is 48 kHz regardless, so an
+                    # unknown input rate reports the 48 kHz decode rate
+                    # instead of discarding the granule-exact duration
+                    rate = int.from_bytes(pkt[12:16], "little") or 48000
                     granule_clock = 48000  # RFC 7845 §4: granules are 48 kHz
                 first = False
             pos = body + size
@@ -1837,6 +1875,17 @@ def audio_wht_table() -> list[list[int]]:
     ]
 
 
+# hoisted like _phash_dct: one table, not one per fingerprinted payload
+_AUDIO_WHT = None
+
+
+def _audio_wht() -> np.ndarray:
+    global _AUDIO_WHT
+    if _AUDIO_WHT is None:
+        _AUDIO_WHT = np.array(audio_wht_table(), dtype=np.int64)
+    return _AUDIO_WHT
+
+
 def audio_fingerprint(
     samples: np.ndarray | None, max_frames: int = 16
 ) -> list[tuple[int, int]]:
@@ -1854,7 +1903,7 @@ def audio_fingerprint(
     if n < 2:
         return []
     frames = c[: n * AUDIO_FP_FRAME].reshape(n, AUDIO_FP_FRAME)
-    w = np.array(audio_wht_table(), dtype=np.int64)
+    w = _audio_wht()
     q = frames @ w.T                      # (n, 17) integer coefficients
     e = q * q                             # band energies
     d = e[:, : AUDIO_FP_BITS] - e[:, 1 : AUDIO_FP_BITS + 1]
@@ -1897,16 +1946,20 @@ def audio_fp_frame(
 
 def audio_fp_pairs(fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 5) -> DataFrame:
     """Audio near-dup candidates: the HK inverted-index lookup as a join
-    — frames sharing an exact subfingerprint value pair up (never n²),
-    ranked by matched-frame count. ``(id_a, id_b, n_matched)``."""
+    — frames sharing an exact subfingerprint value pair up (never n²).
+    ``n_matched`` counts DISTINCT a-side frames whose subfingerprint
+    appears anywhere in b (``count(distinct fa)``), NOT the cross product
+    of matching frame pairs — otherwise two clips that each repeat one
+    degenerate fingerprint m and n times (e.g. silence frames hash to 0)
+    would score m·n and spuriously clear ``min_matched``.
+    ``(id_a, id_b, n_matched)``."""
     a = fp_df.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
-    b = fp_df.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"), "fp")
+    b = fp_df.select(F.col(id_col).alias("id_b"), "fp")
     return (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp", "fa", "fb").distinct()
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_matched"))
+        .agg(F.countDistinct("fa").alias("n_matched"))
         .where(F.col("n_matched") >= min_matched)
     )
 
@@ -2141,7 +2194,9 @@ def extract_video_frames(
                 upf, _total, _ns, w, h = meta
                 idx = 0
                 for _sno, code, fb in iter_avi_frames(data):
-                    if code == "wb" or idx >= max_frames:
+                    if idx >= max_frames:
+                        break  # stop the movi walk, don't scan the tail
+                    if code == "wb":
                         continue
                     img = decode_avi_frame(code, fb, w, h)
                     ts = idx * upf // 1000
@@ -2189,7 +2244,9 @@ def video_phash_frames(
                 _upf, _total, _ns, w, h = meta
                 idx = 0
                 for _sno, code, fb in iter_avi_frames(data):
-                    if code == "wb" or idx >= max_frames:
+                    if idx >= max_frames:
+                        break  # stop the movi walk, don't scan the tail
+                    if code == "wb":
                         continue
                     img = decode_avi_frame(code, fb, w, h)
                     if img is not None:
@@ -2251,7 +2308,9 @@ def sample_frames(df: DataFrame, media_id: str = "media_id", payload: str = "pay
                     upf = avi[0]
                     idx = 0
                     for _sno, code, fb in iter_avi_frames(data):
-                        if code == "wb" or idx >= max_frames:
+                        if idx >= max_frames:
+                            break  # stop the movi walk, don't scan the tail
+                        if code == "wb":
                             continue
                         rows.append((mid, idx, idx * upf // 1000, fb))
                         idx += 1

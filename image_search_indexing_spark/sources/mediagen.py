@@ -265,16 +265,15 @@ _FCC = {"RIFF": "52494646", "AVI ": "41564920", "LIST": "4C495354",
         "DIB ": "44494220", "movi": "6D6F7669", "00db": "30306462"}
 
 
-def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """``(doc_id, payload binary)`` — real AVI containers, closed-form
-    from ``doc_id`` (see the layout comment above)."""
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    did = F.col("doc_id")
-    w = (F.lit(8) + (did % 3) * 4).cast("int")
-    h = (F.lit(8) + (did % 2) * 8).cast("int")
-    nf = (F.lit(1) + did % 4).cast("int")
-    upf = (F.lit(40000) + (did % 3) * 20000).cast("int")
-    fs = (w * h * 3).cast("int")  # frame bytes (w ≡ 0 mod 4 → no padding)
+def _avi_container_hex(w, h, nf, upf, frame_body_hex, max_frames: int):
+    """Hex of a one-video-stream AVI (``vids``/``DIB ``, 24-bpp BI_RGB):
+    ``RIFF [LIST hdrl [avih, LIST strl [strh, strf]], LIST movi
+    [00db ...]]``. ``frame_body_hex(f)`` returns the hex of frame f's
+    pixel bytes (length w·h·3; callers keep w ≡ 0 mod 4 so DIB rows need
+    no padding). The header tree is fixed-shape, so its sizes (avih/strh
+    56, strf 40, strl LIST 116, hdrl LIST 192) are spec constants
+    computed ONCE here — the single place the container layout lives."""
+    fs = (w * h * 3).cast("int")  # frame bytes
     z4, z8 = "00000000", "0000000000000000"
 
     avih = F.concat(  # 56-byte main header
@@ -301,21 +300,37 @@ def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     hdrl = F.concat(F.lit(_FCC["hdrl"] + _FCC["avih"]), _le8(F.lit(56)), avih,
                     F.lit(_FCC["LIST"]), _le8(F.lit(116)), strl)
 
-    def frame(f: int):
+    def chunk(f: int):
+        c = F.concat(F.lit(_FCC["00db"]), _le8(fs), frame_body_hex(f))
+        return F.when(nf > f, c).otherwise(F.lit(""))
+
+    movi_body = (F.lit(4) + nf * (fs + 8)).cast("int")
+    movi = F.concat(F.lit(_FCC["LIST"]), _le8(movi_body), F.lit(_FCC["movi"]),
+                    *[chunk(f) for f in range(max_frames)])
+    riff_size = (movi_body + 8 + 200 + 4).cast("int")  # 'AVI ' + hdrl + movi
+    return F.concat(F.lit(_FCC["RIFF"]), _le8(riff_size), F.lit(_FCC["AVI "]),
+                    F.lit(_FCC["LIST"]), _le8(F.lit(192)), hdrl, movi)
+
+
+def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, payload binary)`` — real AVI containers, closed-form
+    from ``doc_id`` (see the layout comment above)."""
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    w = (F.lit(8) + (did % 3) * 4).cast("int")
+    h = (F.lit(8) + (did % 2) * 8).cast("int")
+    nf = (F.lit(1) + did % 4).cast("int")
+    upf = (F.lit(40000) + (did % 3) * 20000).cast("int")
+
+    def frame_body(f: int):
         pix = F.format_string(  # DIB byte order is B, G, R
             "%02X%02X%02X",
             (did * 3 + f * 29) % 256, (did * 11 + f * 17) % 256,
             (did * 7 + f * 13) % 256,
         )
-        chunk = F.concat(F.lit(_FCC["00db"]), _le8(fs), F.repeat(pix, w * h))
-        return F.when(nf > f, chunk).otherwise(F.lit(""))
+        return F.repeat(pix, w * h)
 
-    movi_body = (F.lit(4) + nf * (fs + 8)).cast("int")
-    movi = F.concat(F.lit(_FCC["LIST"]), _le8(movi_body), F.lit(_FCC["movi"]),
-                    *[frame(f) for f in range(4)])
-    riff_size = (movi_body + 8 + 200 + 4).cast("int")  # 'AVI ' + hdrl + movi
-    hx = F.concat(F.lit(_FCC["RIFF"]), _le8(riff_size), F.lit(_FCC["AVI "]),
-                  F.lit(_FCC["LIST"]), _le8(F.lit(192)), hdrl, movi)
+    hx = _avi_container_hex(w, h, nf, upf, frame_body, max_frames=4)
     return d.select("doc_id", F.unhex(hx).alias("payload"))
 
 
@@ -363,28 +378,8 @@ def synthetic_media_avi_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
     h = (F.lit(8) + (kk % 2) * 8).cast("int")
     nf = (F.lit(3) + kk % 2).cast("int")
     upf = F.lit(40000).cast("int")
-    fs = (w * h * 3).cast("int")
-    z4, z8 = "00000000", "0000000000000000"
 
-    avih = F.concat(
-        _le8(upf), F.lit(z4 * 3), _le8(nf), F.lit(z4),
-        _le8(F.lit(1)), F.lit(z4), _le8(w), _le8(h), F.lit(z8 * 2),
-    )
-    strh = F.concat(
-        F.lit(_FCC["vids"] + _FCC["DIB "] + z4 + z4), F.lit(z4),
-        _le8(upf), _le8(F.lit(1_000_000)), F.lit(z4), _le8(nf),
-        _le8(fs), F.lit("FFFFFFFF"), F.lit(z4), F.lit(z4), _le2h(w), _le2h(h),
-    )
-    strf = F.concat(
-        _le8(F.lit(40)), _le8(w), _le8(h),
-        F.lit("0100" + "1800" + z4), _le8(fs), F.lit(z4 * 4),
-    )
-    strl = F.concat(F.lit(_FCC["strl"] + _FCC["strh"]), _le8(F.lit(56)), strh,
-                    F.lit(_FCC["strf"]), _le8(F.lit(40)), strf)
-    hdrl = F.concat(F.lit(_FCC["hdrl"] + _FCC["avih"]), _le8(F.lit(56)), avih,
-                    F.lit(_FCC["LIST"]), _le8(F.lit(116)), strl)
-
-    def frame(f: int):
+    def frame_body(f: int):
         def pix_hex(x, y):
             return F.format_string(
                 "%02X%02X%02X",  # DIB byte order is B, G, R
@@ -394,7 +389,7 @@ def synthetic_media_avi_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
                   + (v if f == 0 else F.lit(0))) % 256).cast("int"),
             )
 
-        body = F.array_join(
+        return F.array_join(
             F.transform(
                 F.sequence(h - 1, F.lit(0), F.lit(-1)),  # bottom-up rows
                 lambda y: F.array_join(
@@ -403,15 +398,8 @@ def synthetic_media_avi_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
             ),
             "",
         )
-        chunk = F.concat(F.lit(_FCC["00db"]), _le8(fs), body)
-        return F.when(nf > f, chunk).otherwise(F.lit(""))
 
-    movi_body = (F.lit(4) + nf * (fs + 8)).cast("int")
-    movi = F.concat(F.lit(_FCC["LIST"]), _le8(movi_body), F.lit(_FCC["movi"]),
-                    *[frame(f) for f in range(4)])
-    riff_size = (movi_body + 8 + 200 + 4).cast("int")
-    hx = F.concat(F.lit(_FCC["RIFF"]), _le8(riff_size), F.lit(_FCC["AVI "]),
-                  F.lit(_FCC["LIST"]), _le8(F.lit(192)), hdrl, movi)
+    hx = _avi_container_hex(w, h, nf, upf, frame_body, max_frames=4)
     return d.select("doc_id", F.unhex(hx).alias("payload"))
 
 
@@ -465,6 +453,22 @@ def synthetic_media_bmp_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
 # ---------------------------------------------------------------------------
 
 
+def wav_header_hex(n):
+    """Hex of a RIFF/WAVE header for ``n`` bytes of 8-bit mono 8 kHz PCM
+    (``n`` may be an int or a Column): RIFF size, ``fmt `` chunk (PCM,
+    mono, rate 8000, byterate 8000, block align 1, 8 bits), ``data``
+    size — the single place the WAV layout lives (shared by this
+    module's sample generator and ``__spark_entry__``'s media_audio)."""
+    n = n if hasattr(n, "cast") else F.lit(n)
+    return F.concat(
+        F.lit("52494646"), _le8(n + 36), F.lit("57415645"),  # RIFF/WAVE
+        F.lit("666D7420"), _le8(F.lit(16)),                   # fmt chunk
+        F.lit("0100" + "0100"), _le8(F.lit(8000)),            # PCM, mono, 8 kHz
+        _le8(F.lit(8000)), F.lit("0100" + "0800"),            # byterate, align, 8-bit
+        F.lit("64617461"), _le8(n),                           # data chunk
+    )
+
+
 def synthetic_media_wav_samples(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, payload binary)`` — real PCM WAV files, every sample a
     closed form of ``doc_id`` (see the layout comment above)."""
@@ -481,14 +485,9 @@ def synthetic_media_wav_samples(docs: DataFrame, id_col: str = "doc_id") -> Data
     body = F.array_join(
         F.transform(F.sequence(F.lit(0), F.lit(n - 1)), sample_hex), ""
     )
-    hdr = F.concat(
-        F.lit("52494646"), _le8(F.lit(n + 36)), F.lit("57415645"),  # RIFF/WAVE
-        F.lit("666D7420"), _le8(F.lit(16)),                          # fmt chunk
-        F.lit("0100" + "0100"), _le8(F.lit(8000)),                   # PCM, mono, 8 kHz
-        _le8(F.lit(8000)), F.lit("0100" + "0800"),                   # byterate, align, 8-bit
-        F.lit("64617461"), _le8(F.lit(n)),                           # data chunk
+    return d.select(
+        "doc_id", F.unhex(F.concat(wav_header_hex(n), body)).alias("payload")
     )
-    return d.select("doc_id", F.unhex(F.concat(hdr, body)).alias("payload"))
 
 
 def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -98,6 +98,18 @@ def test_pii_redact_exact(spark):
     assert out[5]["n_ips"] == 0 and "1.2.3" in out[5]["redacted"]
 
 
+def test_pii_redact_overlapping_spans(spark):
+    """Email vs IPv4 overlap: the email rule wins the shared span, and
+    the counts reflect the REDACTED output (1 <EMAIL> + 1 <IP>), not the
+    raw-text matches (which would report 2 IPs, one never redacted)."""
+    df = spark.createDataFrame(
+        [(1, "contact a@1.2.3.4.co from 10.0.0.1")], "doc_id long, text string"
+    )
+    r = pii_redact(df).collect()[0]
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 0, 1)
+    assert r["redacted"] == "contact <EMAIL> from <IP>"
+
+
 def test_decontaminate_counts_and_broadcast(spark):
     train = spark.createDataFrame(
         [

@@ -1815,3 +1815,54 @@ def test_ico_decode_real():
                + struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(png), 22) + png)
     assert np.array_equal(decode_ico(ico_png), img)
     assert decode_ico(b"\x00\x00\x01\x00") is None
+
+
+def test_round4_kernel_hardening():
+    """Round-4 review fixes, pinned: (a) MPEG audio sniffing accepts any
+    valid frame header (CRC-protected MPEG-1, MPEG-2/2.5 Layer III) and
+    rejects invalid version/bitrate/samplerate bits; (b) a TIFF whose
+    width/height tags are RATIONAL-typed (inline bytes = value OFFSET,
+    not a value) is a parse failure, not a bogus dimension; (c) an
+    OpusHead with Input-Sample-Rate 0 ('unknown', RFC 7845 §5.1) keeps
+    its granule-exact duration on the 48 kHz clock."""
+    import struct
+
+    from image_search_indexing_spark.operators.multimodal import (
+        parse_image_dims,
+        parse_ogg_meta,
+        sniff_mime,
+    )
+
+    # (a) sniff: valid frame headers of every MPEG version, CRC or not
+    for b1 in (0xFB, 0xFA, 0xF3, 0xE3):
+        assert sniff_mime(bytes([0xFF, b1, 0x90, 0x64])) == "audio/mpeg", hex(b1)
+    for bad in (
+        bytes([0xFF, 0xEB, 0x90, 0x64]),  # reserved version bits
+        bytes([0xFF, 0xF9, 0x90, 0x64]),  # reserved layer bits
+        bytes([0xFF, 0xFB, 0xF0, 0x64]),  # bitrate index 15
+        bytes([0xFF, 0xFB, 0x00, 0x64]),  # free-format bitrate 0
+        bytes([0xFF, 0xFB, 0x9C, 0x64]),  # samplerate index 3
+    ):
+        assert sniff_mime(bad) == "application/octet-stream", bad.hex()
+
+    # (b) RATIONAL-typed (type 5) dimension tags: offset must not leak out
+    hdr = b"II*\x00" + struct.pack("<I", 8)
+    ifd = struct.pack("<H", 2)
+    for tag in (256, 257):
+        ifd += struct.pack("<HHI", tag, 5, 1) + struct.pack("<I", 120)
+    ifd += struct.pack("<I", 0)
+    assert parse_image_dims(hdr + ifd) == (None, None)
+
+    # (c) OpusHead with rate field 0: duration still granule-exact
+    def page(granule, packet, htype, serial=7, seq=0):
+        segs = [len(packet)] if len(packet) < 255 else [255, len(packet) - 255]
+        head = (b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+                + struct.pack("<III", serial, seq, 0) + bytes([len(segs)])
+                + bytes(segs))
+        return head + packet
+
+    opus_head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+                 + struct.pack("<I", 0) + struct.pack("<h", 0) + bytes([0]))
+    data = page(0, opus_head, 2) + page(48312, b"\x00", 4, seq=1)
+    meta = parse_ogg_meta(data)
+    assert meta == (1000, 48000, 2), meta
