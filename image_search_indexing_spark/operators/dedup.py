@@ -356,10 +356,18 @@ def hamming_pairs(
         F.col(id_col), F.col(hash_col).alias("__h"),
         F.posexplode(bands).alias("band", "bv"),
     )
+    # Materialize the banded table ONCE in the shuffle layer before the
+    # self-join: an explicit repartition on the join keys plus a
+    # shuffle-hash hint makes the second side a ReusedExchange instead of
+    # a broadcast that re-executes the whole upstream. Every current
+    # caller's upstream is an Arrow decode+hash pass (phash_frame), so
+    # recomputing it per join side doubles the Python work — at 100 TB
+    # the fingerprint pass is the expensive stage and must run once.
+    e = e.repartition("band", "bv")
     a = e.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"), "band", "bv")
     b = e.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"), "band", "bv")
     pairs = (
-        a.join(b, ["band", "bv"])
+        a.join(b.hint("shuffle_hash"), ["band", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",

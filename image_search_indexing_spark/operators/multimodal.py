@@ -1953,10 +1953,14 @@ def audio_fp_pairs(fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 
     degenerate fingerprint m and n times (e.g. silence frames hash to 0)
     would score m·n and spuriously clear ``min_matched``.
     ``(id_a, id_b, n_matched)``."""
-    a = fp_df.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
-    b = fp_df.select(F.col(id_col).alias("id_b"), "fp")
+    # one shuffle materialization of the fingerprint table, reused by
+    # both join sides (ReusedExchange) — the decode+fingerprint Arrow
+    # pass upstream must not run twice (same rationale as hamming_pairs)
+    f = fp_df.repartition("fp")
+    a = f.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
+    b = f.select(F.col(id_col).alias("id_b"), "fp")
     return (
-        a.join(b, "fp")
+        a.join(b.hint("shuffle_hash"), "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("fa").alias("n_matched"))
