@@ -1949,10 +1949,13 @@ def _video_fp_sql() -> str:
 def _video_pairs_sql(min_matched: int = 2) -> str:
     return f"""
         WITH {_video_fp_ctes()},
-        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx AS fa
+        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.frame_idx AS fa, b.frame_idx AS fb
                FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, count(DISTINCT fa)::BIGINT AS n_matched
-        FROM mm GROUP BY id_a, id_b HAVING count(DISTINCT fa) >= {min_matched}
+        SELECT id_a, id_b,
+               least(count(DISTINCT fa), count(DISTINCT fb))::BIGINT AS n_matched
+        FROM mm GROUP BY id_a, id_b
+        HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= {min_matched}
     """
 
 
@@ -2052,10 +2055,13 @@ def _audio_fp_sql() -> str:
 def _audio_pairs_sql(min_matched: int = 5) -> str:
     return f"""
         WITH {_audio_fp_ctes()},
-        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx AS fa
+        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.frame_idx AS fa, b.frame_idx AS fb
                FROM afp a JOIN afp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, count(DISTINCT fa)::BIGINT AS n_matched
-        FROM mm GROUP BY id_a, id_b HAVING count(DISTINCT fa) >= {min_matched}
+        SELECT id_a, id_b,
+               least(count(DISTINCT fa), count(DISTINCT fb))::BIGINT AS n_matched
+        FROM mm GROUP BY id_a, id_b
+        HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= {min_matched}
     """
 
 

@@ -1947,23 +1947,31 @@ def audio_fp_frame(
 def audio_fp_pairs(fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 5) -> DataFrame:
     """Audio near-dup candidates: the HK inverted-index lookup as a join
     — frames sharing an exact subfingerprint value pair up (never n²).
-    ``n_matched`` counts DISTINCT a-side frames whose subfingerprint
-    appears anywhere in b (``count(distinct fa)``), NOT the cross product
-    of matching frame pairs — otherwise two clips that each repeat one
-    degenerate fingerprint m and n times (e.g. silence frames hash to 0)
-    would score m·n and spuriously clear ``min_matched``.
+    ``n_matched`` is SYMMETRIC: the smaller of each side's DISTINCT
+    matched-frame counts (``least(count(distinct fa), count(distinct
+    fb))``), NOT the cross product of matching frame pairs — otherwise
+    two clips that each repeat one degenerate fingerprint m and n times
+    (e.g. silence frames hash to 0) would score m·n and spuriously clear
+    ``min_matched``; requiring BOTH clips to have ``min_matched``
+    distinct matched frames is the strict form of that guard.
     ``(id_a, id_b, n_matched)``."""
     # one shuffle materialization of the fingerprint table, reused by
     # both join sides (ReusedExchange) — the decode+fingerprint Arrow
-    # pass upstream must not run twice (same rationale as hamming_pairs)
-    f = fp_df.repartition("fp")
+    # pass upstream must not run twice (same rationale as hamming_pairs).
+    # The symmetric count also keeps the two exchange subplans
+    # canonically IDENTICAL (both sides consume id, frame_idx, fp);
+    # an asymmetric count would let column pruning drop frame_idx below
+    # one exchange and defeat the reuse.
+    f = fp_df.select(id_col, "frame_idx", "fp").repartition("fp")
     a = f.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
-    b = f.select(F.col(id_col).alias("id_b"), "fp")
+    b = f.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"), "fp")
     return (
         a.join(b.hint("shuffle_hash"), "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("fa").alias("n_matched"))
+        .agg(
+            F.least(F.countDistinct("fa"), F.countDistinct("fb")).alias("n_matched")
+        )
         .where(F.col("n_matched") >= min_matched)
     )
 

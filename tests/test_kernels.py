@@ -1866,3 +1866,29 @@ def test_round4_kernel_hardening():
     data = page(0, opus_head, 2) + page(48312, b"\x00", 4, seq=1)
     meta = parse_ogg_meta(data)
     assert meta == (1000, 48000, 2), meta
+
+
+def test_pair_join_reuses_fingerprint_exchange(spark):
+    """The near-dup pair self-joins must NOT re-execute the Arrow
+    decode+hash upstream per join side: after execution, the AQE plan
+    shows the second side as a ReusedExchange of the first (one
+    materialized fingerprint shuffle feeding both)."""
+    from image_search_indexing_spark.operators.dedup import hamming_pairs
+    from image_search_indexing_spark.operators.multimodal import (
+        audio_fp_frame,
+        audio_fp_pairs,
+        phash_frame,
+    )
+    from image_search_indexing_spark.sources.mediagen import (
+        synthetic_media_bmp_pixels,
+        synthetic_media_wav_samples,
+    )
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    for pairs in (
+        hamming_pairs(phash_frame(synthetic_media_bmp_pixels(docs)), max_hamming=3),
+        audio_fp_pairs(audio_fp_frame(synthetic_media_wav_samples(docs))),
+    ):
+        pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan[:2000]
