@@ -344,6 +344,16 @@ def hamming_pairs(
     ``(id_a, id_b, hamming)``, id_a < id_b, streaming out of the join —
     the same skew-safe shape as ``simhash_candidate_pairs``."""
     n_bands = (bits + band_bits - 1) // band_bits
+    if max_hamming >= n_bands:
+        # Pigeonhole only guarantees a shared band for d < n_bands; a larger
+        # threshold would SILENTLY return incomplete pairs. Fail loudly so a
+        # caller widens band_bits/bands instead of shipping partial recall.
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the exact-recall guarantee: "
+            f"bits={bits}, band_bits={band_bits} gives {n_bands} bands, so "
+            f"recall is exact only for max_hamming < {n_bands}; use more "
+            f"bands (smaller band_bits) or lower max_hamming"
+        )
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[

@@ -1067,7 +1067,13 @@ def decode_tiff(data: bytes | None) -> np.ndarray | None:
         if (not w or not h or offs is None or cnts is None
                 or comp not in (1, 32773) or one(284, 1) != 1
                 or photo not in (0, 1, 2, 3) or any(b != 8 for b in bps)
-                or spp not in (1, 3) or len(offs) != len(cnts)):
+                or spp not in (1, 3) or len(offs) != len(cnts)
+                # photometric must agree with SamplesPerPixel: RGB (photo 2)
+                # requires spp=3; grayscale (0/1) and palette (3) require
+                # spp=1 — a mismatched combo is a malformed file, not a
+                # decodable one (an RGB/spp=1 pass-through would hand
+                # phash64 an (h, w, 1) array and crash the Arrow batch).
+                or ((photo == 2) != (spp == 3))):
             return None
         row_bytes = w * spp
         raw = bytearray()
@@ -1385,6 +1391,11 @@ def phash64(img: np.ndarray | None) -> int | None:
     low-frequency block exceed their lower median (the 32nd smallest,
     np.sort(vals)[31]) — bit (u·8+v)−1 for flat index u·8+v ≥ 1."""
     if img is None:
+        return None
+    # Defense in depth: a decoder bug that leaks a non-(h, w, 3) array must
+    # surface as a NULL-phash row, not an uncaught IndexError that kills the
+    # whole Spark task mid-batch.
+    if img.ndim != 3 or img.shape[2] != 3:
         return None
     h, w = img.shape[:2]
     if h < 1 or w < 1:

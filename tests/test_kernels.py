@@ -1773,6 +1773,41 @@ def test_tiff_decode_real():
     # dispatch + garbage safety
     assert decode_image(_tiff_bytes(rgb)) is not None
     assert decode_tiff(b"II*\x00" + b"\x00" * 3) is None
+    # photometric/SamplesPerPixel mismatches are malformed files, not
+    # decodable ones: RGB (photo 2) with spp=1 would leak an (h, w, 1)
+    # array into phash64; gray/palette photo with spp=3 would build a
+    # garbage (h, w, 9) array via the np.repeat gray path.
+    assert decode_tiff(_tiff_bytes(gray, photometric=2)) is None
+    assert decode_tiff(_tiff_bytes(rgb, photometric=1)) is None
+    assert decode_tiff(_tiff_bytes(rgb, photometric=0)) is None
+    assert decode_tiff(_tiff_bytes(rgb, photometric=3)) is None
+
+
+def test_phash64_rejects_non_rgb_shapes():
+    """Defense in depth: phash64 returns None (NULL-phash row) for any
+    non-(h, w, 3) array instead of raising inside the Arrow batch loop."""
+    import numpy as np
+
+    from image_search_indexing_spark.operators.multimodal import phash64
+
+    assert phash64(np.zeros((4, 4, 1), np.uint8)) is None
+    assert phash64(np.zeros((4, 4, 9), np.uint8)) is None
+    assert phash64(np.zeros((4, 4), np.uint8)) is None
+    assert phash64(np.zeros((4, 4, 3), np.uint8)) is not None
+
+
+def test_hamming_pairs_rejects_recall_breaking_threshold(spark):
+    """max_hamming >= n_bands silently loses pairs (pigeonhole no longer
+    applies) — the API refuses instead."""
+    import pytest
+
+    from image_search_indexing_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 7)], "doc_id int, phash long")
+    with pytest.raises(ValueError, match="exact-recall"):
+        hamming_pairs(df, max_hamming=4)  # default 4 bands
+    with pytest.raises(ValueError, match="exact-recall"):
+        hamming_pairs(df, band_bits=32, max_hamming=2)  # 2 bands
 
 
 def test_ico_decode_real():
