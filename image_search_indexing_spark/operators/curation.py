@@ -45,6 +45,7 @@ __all__ = [
     "c4_signals",
     "pii_redact",
     "decontaminate",
+    "curation_signals",
 ]
 
 
@@ -163,6 +164,48 @@ def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.regexp_count(t2, F.lit(_PHONE_RE)).alias("n_phones"),
         F.regexp_count(t1, F.lit(_IPV4_RE)).alias("n_ips"),
         redacted.alias("redacted"),
+    )
+
+
+def curation_signals(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """ALL per-row curation signals in ONE projection — the composed
+    shape a full clean-corpus pipeline wants. PII redaction runs first
+    (same chained-replace order as ``pii_redact``), then the C4 gate and
+    the Gopher repetition fractions are computed over the REDACTED text
+    (gating must see what tokenization will see, and a redacted
+    ``<EMAIL>`` placeholder should count as its own token, not as the
+    raw address).
+
+    Returns ``(id, n_pii, redacted, n_tokens, top_token_frac,
+    dup_2gram_frac, c4_keep)``. Still a pure projection: every signal is
+    a JVM-side expression over the same row, so the whole stage rides
+    the scan with zero shuffles — at 100 TB this is one pass, not four
+    (the per-family operators above exist for single-signal use and
+    oracle isolation)."""
+    text = F.col(text_col)
+    t1 = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _IPV4_RE, "<IP>")
+    red = F.regexp_replace(t2, _PHONE_RE, "<PHONE>")
+    toks = word_tokens(red)
+    n = F.size(toks)
+    top = _max_run_count(F.array_sort(toks))
+    ends_terminal = red.rlike('[.!?"]\\s*$')
+    has_lorem = F.lower(red).contains("lorem ipsum")
+    has_brace = red.contains("{")
+    return docs.select(
+        id_col,
+        (
+            F.regexp_count(text, F.lit(_EMAIL_RE))
+            + F.regexp_count(t1, F.lit(_IPV4_RE))
+            + F.regexp_count(t2, F.lit(_PHONE_RE))
+        ).alias("n_pii"),
+        red.alias("redacted"),
+        n.alias("n_tokens"),
+        F.when(n > 0, F.round(top.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        _dup_frac(word_shingles(red, 2)).alias("dup_2gram_frac"),
+        (ends_terminal & ~has_lorem & ~has_brace & (n >= 5)).alias("c4_keep"),
     )
 
 

@@ -337,12 +337,26 @@ def hamming_pairs(
     Hashing", CVPR'12): split the hash into ``bits/band_bits`` bands;
     by pigeonhole, two hashes within Hamming distance d share at least
     one band verbatim whenever ``d < n_bands`` — so with the defaults
-    (4 bands) recall is EXACT for ``max_hamming <= 3``, and candidates
-    form only inside a (band, value) bucket (never n²). Pairs sharing
-    several bands dedupe with one ``distinct`` on the id pair; the exact
-    ``bit_count(xor)`` Hamming gate verifies every survivor. Returns
-    ``(id_a, id_b, hamming)``, id_a < id_b, streaming out of the join —
-    the same skew-safe shape as ``simhash_candidate_pairs``."""
+    (4 bands) recall is EXACT for ``max_hamming <= 3``. The exact
+    ``bit_count(xor)`` Hamming gate verifies every banding survivor.
+
+    IDENTICAL hashes are PRE-COLLAPSED before banding (the 100 TB skew
+    fix): a g-member identical-hash group (a ubiquitous asset — blank
+    image, silence frame — can put g in the millions) emits g−1 STAR
+    EDGES ``(group-min id, member, hamming=0)`` instead of the g²/2
+    within-bucket clique, and only DISTINCT hash values enter the band
+    self-join. Output volume is therefore LINEAR in duplicate-group
+    size. Star edges represent exact-dup connectivity losslessly (every
+    member is Hamming-0 to its representative, and the representative
+    carries the group's edges to other hash values), so
+    ``connected_components`` over the output yields EXACTLY the groups
+    the un-collapsed clique would — only the redundant intra-clique pair
+    rows are gone. Consequence of banding distinct hashes through reps:
+    a near-dup edge between two groups appears once, as
+    (rep_a, rep_b, hamming); non-representative members pair only with
+    their representative. Returns ``(id_a, id_b, hamming)``, id_a <
+    id_b, streaming out of the join — the same skew-safe shape as
+    ``simhash_candidate_pairs``."""
     n_bands = (bits + band_bits - 1) // band_bits
     if max_hamming >= n_bands:
         # Pigeonhole only guarantees a shared band for d < n_bands; a larger
@@ -355,28 +369,43 @@ def hamming_pairs(
             f"bands (smaller band_bits) or lower max_hamming"
         )
     mask = (1 << band_bits) - 1
+    # Materialize the hashed table ONCE in the shuffle layer: the explicit
+    # repartition on the hash value feeds (a) the identical-hash groupBy
+    # (already co-partitioned — no second exchange) and (b) the member →
+    # representative join, as a ReusedExchange. Every current caller's
+    # upstream is an Arrow decode+hash pass (phash_frame), so the
+    # expensive fingerprint stage runs exactly once.
+    h = (
+        df.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col), F.col(hash_col).alias("__h"))
+        .repartition("__h")
+    )
+    grp = h.groupBy("__h").agg(F.min(id_col).alias("__rep"))
+    star = (
+        h.join(grp.hint("shuffle_hash"), "__h")
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
     bands = F.array(
         *[
-            F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+            F.shiftrightunsigned(F.col("__h"), b * band_bits)
             .bitwiseAND(F.lit(mask).cast("long"))
             for b in range(n_bands)
         ]
     )
-    e = df.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col).alias("__h"),
-        F.posexplode(bands).alias("band", "bv"),
-    )
-    # Materialize the banded table ONCE in the shuffle layer before the
-    # self-join: an explicit repartition on the join keys plus a
-    # shuffle-hash hint makes the second side a ReusedExchange instead of
-    # a broadcast that re-executes the whole upstream. Every current
-    # caller's upstream is an Arrow decode+hash pass (phash_frame), so
-    # recomputing it per join side doubles the Python work — at 100 TB
-    # the fingerprint pass is the expensive stage and must run once.
-    e = e.repartition("band", "bv")
-    a = e.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"), "band", "bv")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"), "band", "bv")
-    pairs = (
+    # Band only the DISTINCT hash values (one representative each); the
+    # banded table is again repartitioned on the join keys so the self-join
+    # reuses one exchange instead of recomputing the aggregate per side.
+    e = grp.select(
+        F.col("__rep"), F.col("__h"), F.posexplode(bands).alias("band", "bv")
+    ).repartition("band", "bv")
+    a = e.select(F.col("__rep").alias("id_a"), F.col("__h").alias("__ha"), "band", "bv")
+    b = e.select(F.col("__rep").alias("id_b"), F.col("__h").alias("__hb"), "band", "bv")
+    rep_pairs = (
         a.join(b.hint("shuffle_hash"), ["band", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -384,8 +413,9 @@ def hamming_pairs(
             F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
         )
         .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    return star.unionByName(rep_pairs)
 
 
 def ngram_jaccard(a: Column, b: Column, shingle_words: int = 3) -> Column:

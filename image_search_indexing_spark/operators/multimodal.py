@@ -1955,28 +1955,84 @@ def audio_fp_frame(
     )
 
 
-def audio_fp_pairs(fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 5) -> DataFrame:
+def audio_fp_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    min_matched: int = 5,
+    max_fp_docs: int = 1000,
+) -> DataFrame:
     """Audio near-dup candidates: the HK inverted-index lookup as a join
-    — frames sharing an exact subfingerprint value pair up (never n²).
-    ``n_matched`` is SYMMETRIC: the smaller of each side's DISTINCT
+    — frames sharing an exact subfingerprint value pair up. PER-FRAME
+    buckets are never n² in frames, but two DOCS pair once per shared fp
+    value, so without further guards the join's doc-pair volume is
+    quadratic in the size of an identical-fingerprint doc group (the
+    100 TB hazard: a ubiquitous asset — the same jingle, a silence clip
+    — appears in millions of docs). Two structural fixes keep output
+    LINEAR in duplicate-group size:
+
+    1. EXACT-DUP PRE-COLLAPSE: docs are grouped by their full
+       (frame_idx, fp) sequence; a g-member identical-sequence group
+       emits g−1 STAR EDGES ``(group-min id, member, n_matched =
+       distinct-frame count)`` instead of the g²/2 clique, and only the
+       per-group representative enters the inverted-index join. A
+       member's fp multiset is identical to its representative's, so its
+       match behavior against any third doc is exactly the
+       representative's — star edges are lossless for connectivity AND
+       for the symmetric ``n_matched`` score (the same argument as
+       ``hamming_pairs``'s collapse).
+    2. DOCUMENT-FREQUENCY CAP: fp values held by more than
+       ``max_fp_docs`` representatives are dropped from the inverted
+       index before the join (they carry no discriminative signal — an
+       fp shared by 10⁶ docs says "common audio", not "same clip" —
+       and each such value alone would emit 10¹² join rows). Dropped
+       values are observable as ``freq > max_fp_docs`` in a groupBy on
+       the rep fingerprint table; frames matching ONLY through capped
+       values do not count toward ``n_matched``. ``max_fp_docs=None``
+       disables the cap.
+
+    ``n_matched`` stays SYMMETRIC: the smaller of each side's DISTINCT
     matched-frame counts (``least(count(distinct fa), count(distinct
     fb))``), NOT the cross product of matching frame pairs — otherwise
     two clips that each repeat one degenerate fingerprint m and n times
-    (e.g. silence frames hash to 0) would score m·n and spuriously clear
-    ``min_matched``; requiring BOTH clips to have ``min_matched``
-    distinct matched frames is the strict form of that guard.
-    ``(id_a, id_b, n_matched)``."""
-    # one shuffle materialization of the fingerprint table, reused by
-    # both join sides (ReusedExchange) — the decode+fingerprint Arrow
-    # pass upstream must not run twice (same rationale as hamming_pairs).
-    # The symmetric count also keeps the two exchange subplans
-    # canonically IDENTICAL (both sides consume id, frame_idx, fp);
-    # an asymmetric count would let column pruning drop frame_idx below
-    # one exchange and defeat the reuse.
-    f = fp_df.select(id_col, "frame_idx", "fp").repartition("fp")
-    a = f.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
-    b = f.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"), "fp")
-    return (
+    would score m·n and spuriously clear ``min_matched``.
+    ``(id_a, id_b, n_matched)``, id_a < id_b."""
+    # One shuffle materialization of the Arrow fingerprint pass (on the
+    # doc id), reused by the signature groupBy and the rep filter join;
+    # then one shuffle of the rep-only table on fp, reused by the DF-cap
+    # aggregate and both self-join sides (ReusedExchange) — the
+    # decode+fingerprint pass upstream runs exactly once. The symmetric
+    # count also keeps the two self-join exchange subplans canonically
+    # IDENTICAL (both sides consume id, frame_idx, fp); an asymmetric
+    # count would let column pruning drop frame_idx below one exchange
+    # and defeat the reuse.
+    f = fp_df.select(id_col, "frame_idx", "fp").repartition(id_col)
+    sig = f.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("frame_idx", "fp"))).alias("__sig"),
+        F.countDistinct("frame_idx").alias("__nf"),
+    )
+    grp = sig.groupBy("__sig").agg(F.min(id_col).alias("__rep"))
+    mem = sig.join(grp, "__sig").select(id_col, "__rep", "__nf")
+    star = (
+        mem.where((F.col(id_col) != F.col("__rep")) & (F.col("__nf") >= min_matched))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("__nf").alias("n_matched"),
+        )
+    )
+    reps = mem.where(F.col(id_col) == F.col("__rep")).select(id_col)
+    rf = f.join(reps.hint("shuffle_hash"), id_col).repartition("fp")
+    if max_fp_docs is not None:
+        ok = (
+            rf.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .where(F.col("__df") <= max_fp_docs)
+            .select("fp")
+        )
+        rf = rf.join(ok.hint("shuffle_hash"), "fp")
+    a = rf.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"), "fp")
+    b = rf.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"), "fp")
+    rep_pairs = (
         a.join(b.hint("shuffle_hash"), "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -1985,6 +2041,7 @@ def audio_fp_pairs(fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 
         )
         .where(F.col("n_matched") >= min_matched)
     )
+    return star.unionByName(rep_pairs)
 
 
 AUDIO_SCHEMA = (
@@ -2291,12 +2348,19 @@ def video_phash_frames(
 
 
 def video_phash_pairs(
-    fp_df: DataFrame, id_col: str = "doc_id", min_matched: int = 2
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    min_matched: int = 2,
+    max_fp_docs: int = 1000,
 ) -> DataFrame:
     """Video near-dup candidates: the same exact-subfingerprint
     inverted-index join as ``audio_fp_pairs``, keyed on per-frame
-    pHashes — docs sharing ``min_matched`` frame fingerprints pair up."""
-    return audio_fp_pairs(fp_df, id_col=id_col, min_matched=min_matched)
+    pHashes — docs sharing ``min_matched`` frame fingerprints pair up,
+    with the same exact-dup pre-collapse (star edges per identical
+    frame-hash sequence) and frame-hash document-frequency cap."""
+    return audio_fp_pairs(
+        fp_df, id_col=id_col, min_matched=min_matched, max_fp_docs=max_fp_docs
+    )
 
 
 FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame binary"

@@ -139,3 +139,68 @@ def test_decontaminate_short_doc_singleton_gram(spark):
     bench = spark.createDataFrame([("a b c",), ("a b",)], "text string")
     rows = decontaminate(train, bench, k=8).collect()
     assert len(rows) == 1 and rows[0]["n_overlap"] == 1
+
+
+def test_curation_signals_one_projection(spark):
+    """The composed signal stage equals its per-family operators (over
+    the redacted text) and stays a zero-exchange, Python-free
+    projection."""
+    from image_search_indexing_spark.operators.curation import (
+        c4_signals,
+        curation_signals,
+        pii_redact,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Contact me at bob@example.com about the plan. It works fine."),
+            (2, "spam spam spam spam spam spam"),
+            (3, "lorem ipsum filler { code } from 10.1.0.7 or call 555-123-4567"),
+            (4, "A short clean sentence that simply ends well."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in curation_signals(docs).collect()}
+    red = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    for d, r in red.items():
+        assert got[d]["redacted"] == r["redacted"]
+        assert got[d]["n_pii"] == r["n_emails"] + r["n_phones"] + r["n_ips"]
+    redacted = spark.createDataFrame(
+        [(d, r["redacted"]) for d, r in red.items()], "doc_id long, text string"
+    )
+    for r in c4_signals(redacted).collect():
+        assert got[r["doc_id"]]["c4_keep"] == r["keep"], r
+    for r in repetition_signals(redacted).collect():
+        assert got[r["doc_id"]]["top_token_frac"] == r["top_token_frac"]
+        assert got[r["doc_id"]]["dup_2gram_frac"] == r["dup_2gram_frac"]
+        assert got[r["doc_id"]]["n_tokens"] == r["n_tokens"]
+    # doc 2 trips the repetition gate, doc 3 trips lorem+brace+PII
+    assert got[2]["top_token_frac"] == 1.0 and not got[3]["c4_keep"]
+    assert got[3]["n_pii"] == 2 and "<IP>" in got[3]["redacted"]
+    out = curation_signals(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clean_corpus_full_gates_compose(spark):
+    """clean_corpus_full drops rows for every reason at sf0.001: PII is
+    redacted (not dropped), C4/lorem/brace/short docs and decontam hits
+    are dropped, survivors are champions of their fingerprint group."""
+    import __spark_entry__ as E
+
+    out = E.queries()["clean_corpus_full"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    ids = {r["doc_id"] for r in rows}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids < all_ids  # strictly fewer: gates really drop rows
+    # every %3==1 doc got ' etc' (no terminal punctuation) -> C4-dropped
+    assert not any(i % 3 == 1 for i in ids)
+    # %41 bench-source docs decontaminate against themselves -> dropped
+    assert not any(i % 41 == 0 for i in ids)
+    # PII docs are redacted, not dropped: some %11 doc survives
+    assert any(i % 11 == 0 for i in ids)
+    assert all(r["n_pii"] >= 1 for r in rows if r["doc_id"] % 11 == 0)

@@ -1796,6 +1796,71 @@ def test_phash64_rejects_non_rgb_shapes():
     assert phash64(np.zeros((4, 4, 3), np.uint8)) is not None
 
 
+def test_hamming_pairs_hot_group_linear(spark):
+    """The 100 TB skew fix: a g-member identical-hash group emits g−1
+    star edges, not the g²/2 clique — output is LINEAR in duplicate-group
+    size, and connectivity (the groups contract) is unchanged."""
+    from image_search_indexing_spark.operators.dedup import (
+        connected_components,
+        hamming_pairs,
+    )
+
+    g = 3000
+    base = 0x0123456789ABCDEF
+    rows = [(i, base) for i in range(g)]          # one hot identical-hash group
+    rows.append((g, base ^ 0b101))                # a hamming-2 neighbor
+    rows.append((g + 1, 0x7EDCBA9876543210))      # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    pairs = hamming_pairs(df, max_hamming=3).collect()
+    # linear: (g-1) star edges + ONE rep-to-neighbor edge — not ~g²/2≈4.5M
+    assert len(pairs) == (g - 1) + 1
+    stars = [(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0]
+    assert stars == [(0, i) for i in range(1, g)] or set(stars) == {
+        (0, i) for i in range(1, g)
+    }
+    cross = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs if r["hamming"] > 0]
+    assert cross == [(0, g, 2)]
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame([(r["id_a"], r["id_b"]) for r in pairs],
+                                  "id_a long, id_b long"),
+            nodes=df.select("doc_id"), node_col="doc_id",
+        ).collect()
+    }
+    assert all(comp[i] == 0 for i in range(g + 1)) and comp[g + 1] == g + 1
+
+
+def test_audio_fp_pairs_collapse_and_df_cap(spark):
+    """Identical fingerprint sequences collapse to star edges (linear in
+    group size); fp values above the document-frequency cap drop out of
+    the inverted index (and frames matching only through them don't count
+    toward n_matched)."""
+    from image_search_indexing_spark.operators.multimodal import audio_fp_pairs
+
+    rows = []
+    # hot group: 200 docs with the identical 6-frame sequence
+    for d in range(200):
+        rows += [(d, f, 1000 + f) for f in range(6)]
+    # a near-dup of the group: shares frames 0..4, differs on frame 5
+    rows += [(500, f, 1000 + f) for f in range(5)] + [(500, 5, 9999)]
+    # short identical pair: below min_matched, must NOT pair
+    rows += [(600, f, 2000 + f) for f in range(3)]
+    rows += [(601, f, 2000 + f) for f in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx int, fp long")
+    got = {(r["id_a"], r["id_b"]): r["n_matched"]
+           for r in audio_fp_pairs(df, min_matched=5).collect()}
+    want = {(0, d): 6 for d in range(1, 200)}     # star edges, not 19900 pairs
+    want[(0, 500)] = 5                            # rep-to-neighbor via the join
+    assert got == want
+    # DF cap: with max_fp_docs=1, every fp of the 2-rep inverted index
+    # (reps 0 and 500 share fps 1000..1004) is too frequent → only star
+    # edges survive
+    capped = {(r["id_a"], r["id_b"]): r["n_matched"]
+              for r in audio_fp_pairs(df, min_matched=5, max_fp_docs=1).collect()}
+    assert capped == {(0, d): 6 for d in range(1, 200)}
+
+
 def test_hamming_pairs_rejects_recall_breaking_threshold(spark):
     """max_hamming >= n_bands silently loses pairs (pigeonhole no longer
     applies) — the API refuses instead."""
