@@ -912,12 +912,13 @@ def _media_champions(spark, sf):
 
 
 def _media_dims_ext(spark, sf):
-    """TIFF (both byte orders) and ICO containers through the REAL
-    header parsers (r4): ``parse_image_dims``'s first-IFD tag walk and
-    ICONDIR largest-entry selection read genuine bytes built closed-form
-    by ``synthetic_media_dims_ext``, while the oracle states the
-    generator's ground-truth dims — a byte-order or entry-selection bug
-    breaks the row."""
+    """TIFF (both byte orders), ICO and lossless-WebP containers through
+    the REAL header parsers: ``parse_image_dims``'s first-IFD tag walk,
+    ICONDIR largest-entry selection and the VP8L 14-bit packed dims read
+    genuine bytes built closed-form by ``synthetic_media_dims_ext``
+    (the WebP rows are COMPLETE VP8L files ``decode_webp`` pixel-decodes,
+    r5), while the oracle states the generator's ground-truth dims — a
+    byte-order, entry-selection or bit-packing bug breaks the row."""
     from image_search_indexing_spark.operators.multimodal import decode_image_meta
     from image_search_indexing_spark.sources.mediagen import synthetic_media_dims_ext
 
@@ -2817,14 +2818,16 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
         "media_champions": _media_champions_sql(),
         "media_dims_ext": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'tiff-le'
-                        WHEN doc_id % 3 = 1 THEN 'tiff-be'
-                        ELSE 'ico' END AS fmt,
-                   (CASE WHEN doc_id % 3 = 2 THEN least(16 + doc_id % 300, 255)
+                   CASE WHEN doc_id % 4 = 0 THEN 'tiff-le'
+                        WHEN doc_id % 4 = 1 THEN 'tiff-be'
+                        WHEN doc_id % 4 = 2 THEN 'ico'
+                        ELSE 'webp' END AS fmt,
+                   (CASE WHEN doc_id % 4 = 2 THEN least(16 + doc_id % 300, 255)
                          ELSE 16 + doc_id % 300 END)::INTEGER AS width,
-                   (CASE WHEN doc_id % 3 = 2 THEN least(16 + doc_id % 200, 255)
+                   (CASE WHEN doc_id % 4 = 2 THEN least(16 + doc_id % 200, 255)
                          ELSE 16 + doc_id % 200 END)::INTEGER AS height,
-                   CASE WHEN doc_id % 3 = 2 THEN 'image/x-icon'
+                   CASE WHEN doc_id % 4 = 2 THEN 'image/x-icon'
+                        WHEN doc_id % 4 = 3 THEN 'image/webp'
                         ELSE 'image/tiff' END AS mime_detected
             FROM documents
         """,

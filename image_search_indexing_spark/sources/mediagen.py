@@ -216,25 +216,80 @@ def ico_hex(w, h):
     )
 
 
+def _le_hex(col, nbytes: int):
+    """n-byte little-endian hex from a long — shift-based (no float
+    division), safe for values past 2^53."""
+    c = col.cast("long")
+    parts = [
+        (F.shiftrightunsigned(c, 8 * i) % 256).cast("int") for i in range(nbytes)
+    ]
+    return F.format_string("%02X" * nbytes, *parts)
+
+
+# Constant bits of the 58-bit post-header VP8L stream of a solid-color
+# image encoded with five single-symbol prefix codes (see webp_hex):
+# bits 0-2: transform/meta-prefix/color-cache absent; per prefix code,
+# (simple=1, num_symbols=1, 8-bit symbol) headers at bits 3/5, 14/16,
+# 25/27, 36/38, 47/49; alpha symbol 255 at bits 39-46. The g/r/b symbol
+# payloads slot into bits 6-13 / 17-24 / 28-35 without carries.
+_WEBP_SOLID_BASE = (
+    (1 << 3) | (1 << 5) | (1 << 14) | (1 << 16) | (1 << 25) | (1 << 27)
+    | (1 << 36) | (1 << 38) | (255 << 39) | (1 << 47) | (1 << 49)
+)
+
+
+def webp_hex(w, h, r, g, b):
+    """Closed-form FULLY VALID lossless WebP (VP8L, RFC 9649 §3) of a
+    solid (r, g, b) image: five single-symbol prefix codes make every
+    pixel cost zero bits, so the file is 34 bytes at ANY dims — and
+    ``decode_webp`` reproduces the exact color. Structure: RIFF(26)
+    'WEBP' + VP8L chunk(13): 0x2F sig, LE32 packed dims, LE64 of the
+    five code headers + symbols (bit layout in ``_WEBP_SOLID_BASE``)."""
+    hdr = (w.cast("long") - 1).bitwiseOR(F.shiftleft(h.cast("long") - 1, 14))
+    body = (
+        F.lit(_WEBP_SOLID_BASE)
+        + F.shiftleft(g.cast("long"), 6)
+        + F.shiftleft(r.cast("long"), 17)
+        + F.shiftleft(b.cast("long"), 28)
+    )
+    return F.concat(
+        F.lit("52494646" + "1A000000" + "57454250" + "5650384C" + "0D000000" + "2F"),
+        _le_hex(hdr, 4),
+        _le_hex(body, 8),
+        F.lit("00"),  # RIFF pad byte (13-byte chunk)
+    )
+
+
 def synthetic_media_dims_ext(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """``(doc_id, fmt, payload binary)`` — TIFF (both byte orders) and
-    ICO containers, dims a closed form of ``doc_id`` (mirrored in the
-    media_dims_ext oracle SQL): w = 16 + doc_id % 300 (exercises the
-    ICO 0-means-256 byte only below 256 — ICO rows cap at 255),
-    h = 16 + doc_id % 200; s = doc_id % 3 rotates tiff-le / tiff-be /
-    ico (ICO w/h use min(w, 255), min(h, 255) — the dir entry is a
-    byte)."""
+    """``(doc_id, fmt, payload binary)`` — TIFF (both byte orders), ICO
+    and lossless-WebP containers, dims a closed form of ``doc_id``
+    (mirrored in the media_dims_ext oracle SQL): w = 16 + doc_id % 300
+    (exercises the ICO 0-means-256 byte only below 256 — ICO rows cap
+    at 255), h = 16 + doc_id % 200; s = doc_id % 4 rotates tiff-le /
+    tiff-be / ico / webp (ICO w/h use min(w, 255), min(h, 255) — the
+    dir entry is a byte). The WebP rows are complete VP8L files
+    (``webp_hex``) — the REAL decoder, not just the dims parser, accepts
+    them."""
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    s = F.col("doc_id") % 3
+    s = F.col("doc_id") % 4
     w = (F.lit(16) + F.col("doc_id") % 300).cast("int")
     h = (F.lit(16) + F.col("doc_id") % 200).cast("int")
     iw = F.least(w, F.lit(255))
     ih = F.least(h, F.lit(255))
-    fmt = F.when(s == 0, "tiff-le").when(s == 1, "tiff-be").otherwise(F.lit("ico"))
+    fmt = (
+        F.when(s == 0, "tiff-le")
+        .when(s == 1, "tiff-be")
+        .when(s == 2, F.lit("ico"))
+        .otherwise(F.lit("webp"))
+    )
     hx = (
         F.when(s == 0, tiff_hex(w, h, le=True))
         .when(s == 1, tiff_hex(w, h, le=False))
-        .otherwise(ico_hex(iw, ih))
+        .when(s == 2, ico_hex(iw, ih))
+        .otherwise(
+            webp_hex(w, h, F.col("doc_id") % 256, (F.col("doc_id") * 7) % 256,
+                     (F.col("doc_id") * 13) % 256)
+        )
     )
     return d.select("doc_id", fmt.alias("fmt"), F.unhex(hx).alias("payload"))
 
