@@ -1878,11 +1878,18 @@ def _simhash_pairs_sql(prefix_bits: int = 16, bits: int = 60, max_hamming: int =
         bt AS (SELECT doc_id, {sums} FROM hb GROUP BY doc_id),
         sh AS (SELECT d.doc_id, ({sim})::BIGINT AS sim
                FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
-        b AS (SELECT doc_id, sim, sim >> {bits - prefix_bits} AS bucket FROM sh)
-        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-               bit_count(xor(a.sim, c.sim))::INTEGER AS hamming
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-        WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming}
+        reps AS (SELECT sim, min(doc_id) AS rep FROM sh GROUP BY sim),
+        star AS (SELECT r.rep AS id_a, s.doc_id AS id_b, 0::INTEGER AS hamming
+                 FROM sh s JOIN reps r ON r.sim = s.sim WHERE s.doc_id <> r.rep),
+        b AS (SELECT rep AS doc_id, sim, sim >> {bits - prefix_bits} AS bucket
+              FROM reps),
+        rp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                      bit_count(xor(a.sim, c.sim))::INTEGER AS hamming
+               FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+               WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming})
+        SELECT id_a, id_b, hamming FROM star
+        UNION ALL
+        SELECT id_a, id_b, hamming FROM rp
     """
 
 
@@ -1942,11 +1949,18 @@ def _simhash_pairs_xx_sql(prefix_bits: int = 16, bits: int = 63, max_hamming: in
         bt AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
         sh AS (SELECT d.doc_id, ({sim})::BIGINT AS sim
                FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
-        b AS (SELECT doc_id, sim, sim >> {bits - prefix_bits} AS bucket FROM sh)
-        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-               bit_count(xor(a.sim, c.sim))::INTEGER AS hamming
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-        WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming}
+        reps AS (SELECT sim, min(doc_id) AS rep FROM sh GROUP BY sim),
+        star AS (SELECT r.rep AS id_a, s.doc_id AS id_b, 0::INTEGER AS hamming
+                 FROM sh s JOIN reps r ON r.sim = s.sim WHERE s.doc_id <> r.rep),
+        b AS (SELECT rep AS doc_id, sim, sim >> {bits - prefix_bits} AS bucket
+              FROM reps),
+        rp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                      bit_count(xor(a.sim, c.sim))::INTEGER AS hamming
+               FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+               WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming})
+        SELECT id_a, id_b, hamming FROM star
+        UNION ALL
+        SELECT id_a, id_b, hamming FROM rp
     """
 
 

@@ -482,6 +482,15 @@ def main() -> None:
     # cluster (spark://...) instead of local[N]; executor shape comes
     # from the companion env vars, CPUS still sizes shuffle partitions.
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
+    # knob-sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" injects arbitrary
+    # Spark confs into a leg (used by the scaling sweeps to try shuffle
+    # compression / Arrow batch / GC knobs without code edits per run)
+    if os.environ.get("SPARK_GRAFT_EXTRA_CONF"):
+        extra = dict(extra or {})
+        for kv in os.environ["SPARK_GRAFT_EXTRA_CONF"].split(";"):
+            if "=" in kv:
+                k, _, v = kv.partition("=")
+                extra[k.strip()] = v.strip()
     if master.startswith("spark://"):
         extra = dict(extra or {})
         extra.setdefault("spark.cores.max", str(CPUS))

@@ -139,16 +139,40 @@ def minhash_candidate_pairs(
     """Near-dup candidate PAIRS ``(id_a, id_b)``, id_a < id_b, distinct
     across bands. The skew-safe LSH shape: a within-bucket self-join emits
     pairs incrementally (sort-merge/hash join state, AQE-splittable), so no
-    per-bucket array ever materializes."""
-    b = minhash_bands(docs, text_col, id_col, k, bands, shingle_words)
+    per-bucket array ever materializes.
+
+    EXACT-TEXT duplicates are PRE-COLLAPSED before banding (the same
+    100 TB skew fix as ``hamming_pairs``): docs group by ``md5(text)``;
+    a g-member identical-text group emits g−1 star edges to the
+    group-min representative instead of the g²/2 within-bucket clique,
+    and only representatives are MinHashed and banded. Star edges are
+    genuine candidates (identical text ⇒ identical signature ⇒ every
+    band shared), and a member's banding behavior equals its
+    representative's, so downstream verify+components
+    (``text_dup_groups``) produce EXACTLY the groups the un-collapsed
+    graph would — identical texts also verify identically under any
+    Jaccard threshold."""
+    keyed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__k")).repartition(
+        "__k"
+    )
+    grp = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
+    m = keyed.join(grp.hint("shuffle_hash"), "__k")
+    star = m.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    reps = m.where(F.col(id_col) == F.col("__rep")).select(id_col)
+    rep_docs = docs.join(reps, id_col)
+    b = minhash_bands(rep_docs, text_col, id_col, k, bands, shingle_words)
+    b = b.repartition("band", "band_hash")
     a = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     c = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (
-        a.join(c, ["band", "band_hash"])
+    rep_pairs = (
+        a.join(c.hint("shuffle_hash"), ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return star.unionByName(rep_pairs)
 
 
 def text_dup_groups(
@@ -302,17 +326,38 @@ def simhash_candidate_pairs(
     exact Hamming distance (``bit_count(a XOR b)``) as the verify step,
     JVM-side. Returns ``(id_a, id_b, hamming)``, id_a < id_b.
 
+    IDENTICAL SimHash values are PRE-COLLAPSED before the bucket join
+    (the ``hamming_pairs`` skew fix): a g-member identical-hash group —
+    exact-dup texts are the common case, but any sign-sum collision
+    collapses too — emits g−1 star edges ``(group-min id, member,
+    hamming=0)``, and only DISTINCT SimHash values enter the self-join.
+    Exactly faithful: a member's bucket AND its Hamming distance to any
+    third doc depend only on its SimHash, which equals its
+    representative's, so the collapsed graph has the same components
+    under any ``max_hamming``.
+
     ``token_hash='md5'`` (default) is the oracle-reproducible twin;
     ``token_hash='xxhash64'`` with ``bits=63`` is the PRODUCTION path —
     identical plan shape and pair contract, cheaper hash."""
-    sim = simhash_frame(docs, text_col, id_col, bits, token_hash)
-    b = sim.select(
-        F.col(id_col), "simhash", F.shiftright("simhash", bits - prefix_bits).alias("bucket")
+    sim = simhash_frame(docs, text_col, id_col, bits, token_hash).repartition("simhash")
+    grp = sim.groupBy("simhash").agg(F.min(id_col).alias("__rep"))
+    star = (
+        sim.join(grp.hint("shuffle_hash"), "simhash")
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
-    a = b.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "bucket")
+    b = grp.select(
+        F.col("__rep"), "simhash",
+        F.shiftright("simhash", bits - prefix_bits).alias("bucket"),
+    ).repartition("bucket")
+    a = b.select(F.col("__rep").alias("id_a"), F.col("simhash").alias("__sa"), "bucket")
+    c = b.select(F.col("__rep").alias("id_b"), F.col("simhash").alias("__sb"), "bucket")
     pairs = (
-        a.join(c, "bucket")
+        a.join(c.hint("shuffle_hash"), "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming")
@@ -320,7 +365,7 @@ def simhash_candidate_pairs(
     )
     if max_hamming is not None:
         pairs = pairs.where(F.col("hamming") <= max_hamming)
-    return pairs
+    return star.unionByName(pairs)
 
 
 def hamming_pairs(

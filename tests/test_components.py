@@ -79,8 +79,12 @@ def test_empty_pairs_all_singletons(spark):
 
 
 def test_minhash_pairs_equal_bucket_pairs(spark):
-    """The skew-safe pair-emitting LSH must induce exactly the pairs the
-    bucket-listing variant describes (same bands, no arrays)."""
+    """The skew-safe pair-emitting LSH must induce exactly the
+    COLLAPSED view of the pairs the bucket-listing variant describes:
+    exact-text duplicates appear as star edges to the group-min
+    representative, representatives pair via the band buckets — and the
+    connected components of the two graphs are identical."""
+    import hashlib
     from itertools import combinations
 
     from image_search_indexing_spark.operators.dedup import (
@@ -88,14 +92,50 @@ def test_minhash_pairs_equal_bucket_pairs(spark):
         minhash_lsh_buckets,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # seed exact-text duplicates (sf0.001 has none) so the collapse path
+    # is genuinely exercised: every 25th doc gets a re-keyed identical copy
+    import pyspark.sql.functions as F
+
+    dups = base.where(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    docs = base.unionByName(dups)
     got = {
         (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()
     }
-    want = set()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_text = {}
+    for d, t in texts.items():
+        by_text.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
+    rep = {d: min(mem) for mem in by_text.values() for d in mem}
+    stars = {(rep[d], d) for d in texts if rep[d] != d}
+    bucket_pairs = set()
     for r in minhash_lsh_buckets(docs).collect():
-        want |= set(combinations(sorted(r["doc_ids"]), 2))
-    assert got == want and len(got) > 0
+        bucket_pairs |= set(combinations(sorted(r["doc_ids"]), 2))
+    want = stars | {
+        (a, b) for a, b in bucket_pairs if rep[a] == a and rep[b] == b
+    }
+    assert got == want and len(got) > 0 and stars  # corpus HAS exact dups
+
+    # connectivity equivalence: components over the un-collapsed bucket
+    # graph == components over the collapsed graph
+    def components(pairs):
+        parent = {d: d for d in texts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in texts}
+
+    assert components(bucket_pairs | stars) == components(got)
 
 
 def test_text_dup_groups_shape(spark):
@@ -115,29 +155,51 @@ def test_text_dup_groups_shape(spark):
 
 
 def test_simhash_pairs_equal_bucket_pairs(spark):
-    """Pair-emitting SimHash == bucket-listing SimHash pair-wise (same
-    60-bit md5 construction, no per-bucket arrays); the hamming gate
-    filters monotonically."""
+    """Pair-emitting SimHash == the COLLAPSED view of the bucket-listing
+    pairs (same 60-bit md5 construction): identical-SimHash docs appear
+    as star edges to the group-min representative, representatives pair
+    via the prefix bucket; components are unchanged; the hamming gate
+    filters monotonically (star edges are hamming 0, never gated)."""
     from itertools import combinations
 
     from image_search_indexing_spark.operators.dedup import (
         simhash_buckets_md5,
         simhash_candidate_pairs,
+        simhash_frame,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # seed exact-text duplicates (identical SimHash by construction) so
+    # the identical-hash collapse path is exercised
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 25 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
     ungated = {
         (r["id_a"], r["id_b"])
         for r in simhash_candidate_pairs(docs, max_hamming=None).collect()
     }
-    want = set()
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_frame(docs).collect()}
+    by_sim = {}
+    for d, s in sims.items():
+        by_sim.setdefault(s, []).append(d)
+    rep = {d: min(mem) for mem in by_sim.values() for d in mem}
+    stars = {(rep[d], d) for d in sims if rep[d] != d}
+    bucket_pairs = set()
     for r in simhash_buckets_md5(docs).collect():
-        want |= set(combinations(sorted(r["doc_ids"]), 2))
-    assert ungated == want and len(ungated) > 0
+        bucket_pairs |= set(combinations(sorted(r["doc_ids"]), 2))
+    want = stars | {
+        (a, b) for a, b in bucket_pairs if rep[a] == a and rep[b] == b
+    }
+    assert ungated == want and len(ungated) > 0 and stars
 
     gated = simhash_candidate_pairs(docs, max_hamming=10).collect()
     assert {(r["id_a"], r["id_b"]) for r in gated} <= ungated
     assert all(r["hamming"] <= 10 for r in gated)
+    assert stars <= {(r["id_a"], r["id_b"]) for r in gated}  # hamming-0 edges survive
 
 
 def test_connected_components_rejects_string_ids(spark):
