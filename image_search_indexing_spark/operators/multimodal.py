@@ -20,7 +20,7 @@ What is REAL as well (stdlib-only, no imaging library):
   DCT — canonical Huffman entropy decode, restart markers, dequant +
   inverse zigzag, orthonormal IDCT, chroma upsampling, YCbCr→RGB);
 - byte-level thumbnail resize (``thumbnail_bytes``: decode → centered
-  nearest-neighbor numpy resample to the ≤200×200 ratio box → PNG) —
+  nearest-neighbor numpy resample to the ≤200×200 ratio box → source-MIME re-encode) —
   the actual ``ImageParse.java:89-193`` behavior for these containers;
 - PCM WAV decode + per-window RMS loudness in dBFS (``decode_wav``,
   ``audio_rms_db`` — real DSP, exact durations from sample counts);
@@ -997,6 +997,311 @@ def _jpeg_color(out: list[np.ndarray]) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
+# --- baseline JPEG encode (T.81 sequential, K.2-optimized Huffman) -----------
+
+# Annex K.1 / K.2 example quantization tables, natural (row-major) order
+_JPEG_QLUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_QCHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables under the conventional linear quality scaling
+    (q<50 → 5000/q, else 200−2q percent), clamped to [1, 255]."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((_JPEG_QLUM * scale + 50) // 100, 1, 255)
+    chr_ = np.clip((_JPEG_QCHR * scale + 50) // 100, 1, 255)
+    return lum, chr_
+
+
+def _huff_spec_from_freq(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 optimal code-length derivation: pairwise merge with
+    the reserved 256 symbol (guarantees no all-ones code), code lengths
+    limited to 16 bits (Figure K.3), symbols sorted by (length, value)
+    (Figure K.4). Returns (BITS[16], HUFFVAL)."""
+    freq = np.zeros(257, np.int64)
+    for s, c in freq_in.items():
+        freq[s] = c
+    freq[256] = 1
+    codesize = np.zeros(257, np.int64)
+    others = np.full(257, -1, np.int64)
+    while True:
+        nz = np.nonzero(freq)[0]
+        if len(nz) <= 1:
+            break
+        fmin = freq[nz].min()
+        v1 = int(nz[freq[nz] == fmin].max())
+        nz2 = nz[nz != v1]
+        fmin2 = freq[nz2].min()
+        v2 = int(nz2[freq[nz2] == fmin2].max())
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(33, np.int64)
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = 32
+    while i > 16:  # Figure K.3: push over-long codes up the tree
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i:  # drop the reserved symbol's slot from the longest length
+        bits[i] -= 1
+    vals = [
+        v for size in range(1, 17) for v in range(256) if codesize[v] == size
+    ]
+    return [int(b) for b in bits[1:17]], vals
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (same flow the decoder's DHT reader uses):
+    symbol → (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first entropy bit sink with 0xFF byte stuffing and 1-padding."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, ln: int) -> None:
+        if ln == 0:
+            return
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """REAL baseline JPEG encode (ITU-T T.81 sequential DCT): JFIF
+    RGB→YCbCr, 4:4:4 (no subsampling), edge-padded 8×8 blocks through the
+    orthonormal FDCT (the exact adjoint of the decoder's IDCT), Annex K
+    quantization scaled by ``quality``, zigzag + DC-differential + AC
+    run-length coding under frequency-OPTIMIZED canonical Huffman tables
+    built with the Annex K.2 procedure (always-valid prefix codes, the
+    same strategy as libjpeg's optimize-coding mode — no dependence on
+    the example K.3 tables). The emitted stream is what the reference's
+    ``ImageIO.write(scaledImg, "jpeg", ...)`` produces for a jpeg-sourced
+    thumbnail (``utils/ImageParse.java:173-176``): SOI/APP0(JFIF)/DQT×2/
+    SOF0/DHT×4/SOS + entropy data + EOI."""
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    rgb = arr[:, :, :3].astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qlum, qchr = _jpeg_quant_tables(quality)
+    my, mx = -(-h // 8), -(-w // 8)
+    M = _DCT_M
+    comp_zz = []
+    for ci, plane in enumerate(planes):
+        qt = (qlum if ci == 0 else qchr).reshape(8, 8)
+        p = np.pad(plane, ((0, my * 8 - h), (0, mx * 8 - w)), mode="edge") - 128.0
+        blk = p.reshape(my, 8, mx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", M, blk, M)
+        qnat = np.round(coef / qt[None, None]).astype(np.int64)
+        comp_zz.append(qnat.reshape(my, mx, 64)[:, :, _ZIGZAG])
+
+    # one token pass shared by the frequency count and the emit loop:
+    # (is_ac, is_chroma, huff_symbol, extra_code, extra_bits)
+    tokens: list[tuple[int, int, int, int, int]] = []
+    pred = [0, 0, 0]
+    for by in range(my):
+        for bx in range(mx):
+            for ci in range(3):
+                zb = comp_zz[ci][by, bx]
+                dc = int(zb[0])
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s = abs(diff).bit_length()
+                code = diff if diff >= 0 else diff + (1 << s) - 1
+                tokens.append((0, ci > 0, s, code, s))
+                last = 63
+                while last >= 1 and zb[last] == 0:
+                    last -= 1
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zb[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        tokens.append((1, ci > 0, 0xF0, 0, 0))
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code = v if v >= 0 else v + (1 << s) - 1
+                    tokens.append((1, ci > 0, (run << 4) | s, code, s))
+                    run = 0
+                if last < 63:
+                    tokens.append((1, ci > 0, 0x00, 0, 0))
+
+    freqs: list[dict[int, int]] = [{}, {}, {}, {}]
+    for ac, chroma, sym, _, _ in tokens:
+        f = freqs[ac * 2 + chroma]
+        f[sym] = f.get(sym, 0) + 1
+    specs = [_huff_spec_from_freq(f) for f in freqs]
+    maps = [_huff_encode_map(*sp) for sp in specs]
+
+    bw = _BitWriter()
+    for ac, chroma, sym, code, nbits in tokens:
+        c, ln = maps[ac * 2 + chroma][sym]
+        bw.write(c, ln)
+        bw.write(code, nbits)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qlum[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qchr[_ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += seg(0xC0, sof)
+    for (tc, th_), sp in zip(((0, 0), (0, 1), (1, 0), (1, 1)), specs):
+        bits, vals = sp
+        out += seg(0xC4, bytes([(tc << 4) | th_]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """REAL 24-bit uncompressed BMP encode (BITMAPINFOHEADER, bottom-up
+    BGR rows padded to 4 bytes) — the ``ImageIO.write(..., "bmp", ...)``
+    analog for bmp-sourced thumbnails (``utils/ImageParse.java:175``)."""
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    rgb = np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
+    row_sz = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_sz), np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pix
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """REAL baseline-TIFF encode (6.0, little-endian, single
+    uncompressed RGB strip) — the ``ImageIO.write(..., "tiff", ...)``
+    analog for tiff-sourced thumbnails (``utils/ImageParse.java:175``)."""
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    pix = np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8).tobytes()
+    # layout: 8-byte header | pixel strip | BitsPerSample triple | IFD
+    strip_off = 8
+    bps_off = strip_off + len(pix)
+    ifd_off = bps_off + 6
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return (
+            tag.to_bytes(2, "little")
+            + typ.to_bytes(2, "little")
+            + count.to_bytes(4, "little")
+            + value.to_bytes(4, "little")
+        )
+
+    entries = [
+        entry(256, 3, 1, w),  # ImageWidth
+        entry(257, 3, 1, h),  # ImageLength
+        entry(258, 3, 3, bps_off),  # BitsPerSample → [8,8,8]
+        entry(259, 3, 1, 1),  # Compression: none
+        entry(262, 3, 1, 2),  # Photometric: RGB
+        entry(273, 4, 1, strip_off),  # StripOffsets
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 3, 1, h),  # RowsPerStrip
+        entry(279, 4, 1, len(pix)),  # StripByteCounts
+    ]
+    ifd = (
+        len(entries).to_bytes(2, "little")
+        + b"".join(entries)
+        + (0).to_bytes(4, "little")
+    )
+    header = b"II*\x00" + ifd_off.to_bytes(4, "little")
+    return header + pix + (8).to_bytes(2, "little") * 3 + ifd
+
+
 # --- TIFF (6.0 baseline, strip layout) ---------------------------------------
 
 
@@ -1666,17 +1971,19 @@ def thumbnail_bytes(
       reference explicitly skips resizing them (``:131-134``);
     - PNG/BMP/JPEG/TIFF/ICO/lossless-WebP decode pixels, resample into
       the reference's thumb box (no-op when either dim < 200,
-      ``:146-147``), re-encode. The reference re-encodes in the source
-      MIME via ImageIO; here the re-encode is always PNG (the one real
-      encoder in this sandbox).
+      ``:146-147``), re-encode IN THE SOURCE MIME like the reference's
+      ``ImageIO.write(scaledImg, mimeDetected.substring(6), ...)``
+      (``:173-176``): jpeg→``encode_jpeg``, bmp→``encode_bmp``,
+      tiff→``encode_tiff``, png→``encode_png``. ico/webp fall back to
+      PNG — beyond-reference capability (stock ImageIO has no reader
+      for either, so the reference nulls those images outright).
 
     Returns (bytes, w, h) or (None,)*3 when the container has no real
     decoder here (lossy-VP8 webp) or the stream is malformed."""
-    if data is not None:
-        mime = sniff_mime(bytes(data))
-        if mime == "image/gif" or (mime or "").endswith("svg+xml"):
-            w, h = parse_image_dims(bytes(data))
-            return bytes(data), w, h
+    mime = sniff_mime(bytes(data)) if data is not None else None
+    if mime == "image/gif" or (mime or "").endswith("svg+xml"):
+        w, h = parse_image_dims(bytes(data))
+        return bytes(data), w, h
     img = decode_image(data)
     if img is None:
         return None, None, None
@@ -1684,9 +1991,14 @@ def thumbnail_bytes(
     if box is None:  # >max_side:1 aspect — reference's Scalr failure path
         return None, None, None
     tw, th = box
+    enc = {
+        "image/jpeg": encode_jpeg,
+        "image/bmp": encode_bmp,
+        "image/tiff": encode_tiff,
+    }.get(mime or "", encode_png)
     if (tw, th) == (img.shape[1], img.shape[0]):
-        return encode_png(img), tw, th
-    return encode_png(resize_nearest(img, tw, th)), tw, th
+        return enc(img), tw, th
+    return enc(resize_nearest(img, tw, th)), tw, th
 
 
 THUMB_SCHEMA = T.StructType(
@@ -1699,7 +2011,7 @@ THUMB_SCHEMA = T.StructType(
 
 
 def attach_thumbnails(df: DataFrame, binary_col: str = "payload") -> DataFrame:
-    """F10 over real bytes: per-payload PNG thumbnail columns (NULL for
+    """F10 over real bytes: per-payload source-MIME thumbnail columns (NULL for
     containers without a real decoder). Arrow-batched ``mapInPandas`` —
     the same batch loop a PIL-backed decoder would use."""
 
@@ -1739,7 +2051,7 @@ def decode_image_meta(
 
     ``thumbnails=True`` additionally runs the REAL pixel path in the same
     Arrow batch loop (``thumbnail_bytes``: PNG/BMP/baseline-JPEG decode →
-    ≤200×200 resample → PNG re-encode), adding ``thumb``/``thumb_width``/
+    ≤200×200 resample → source-MIME re-encode), adding ``thumb``/``thumb_width``/
     ``thumb_height`` — the reference's ``imgSrcBase64`` source bytes
     (``ImageParse.java:89-193``). gif/svg keep their ORIGINAL payload
     bytes as the thumb (the reference's capture-pass passthrough,

@@ -86,7 +86,8 @@ def attach_media_meta(
     from ..operators import multimodal as MM
 
     # with_thumbnails: the REAL pixel path (PNG/BMP/baseline-JPEG decode →
-    # ≤200×200 resample → PNG) rides the same Arrow pass, and the output
+    # ≤200×200 resample → source-MIME re-encode) rides the same Arrow
+    # pass, and the output
     # carries `img_src_base64` — the reference's stored-thumbnail field
     # (`ImageDataSerializer.java:46` imgSrcBase64). gif/svg ride through
     # with their ORIGINAL bytes (ImageParse.java:131-134 passthrough);
