@@ -928,6 +928,39 @@ def _media_dims_ext(spark, sf):
     )
 
 
+def _media_thumbs(spark, sf):
+    """F10 source-MIME re-encode parity through the driver gate (r5):
+    REAL pixel payloads across the four re-encodable containers
+    (``synthetic_media_thumb_pixels``: png/bmp/tiff/jpeg, plus a gif
+    passthrough class) decode, resample into the reference's ≤200×200
+    box and re-encode IN THE SOURCE MIME — the
+    ``ImageIO.write(scaledImg, mimeDetected.substring(6), ...)`` path
+    (``utils/ImageParse.java:173-176``). Spark must (a) magic-sniff the
+    source container, (b) decode real pixels (zlib inflate / BMP rows /
+    TIFF strips / T.81 entropy decode), (c) apply the exact box
+    arithmetic, and (d) emit thumbnail BYTES whose own magic sniffs
+    back to the source MIME; the oracle predicts source MIME, parsed
+    dims, thumbnail MIME and box dims from the generator's closed form.
+    Pixel-level encoder fidelity is pinned by the codec round-trip
+    tests (lossless for bmp/tiff, quantization-bounded for jpeg)."""
+    from image_search_indexing_spark.operators import multimodal as MM
+    from image_search_indexing_spark.sources.mediagen import (
+        synthetic_media_thumb_pixels,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") % 5 == 0)
+    met = MM.decode_image_meta(synthetic_media_thumb_pixels(d), thumbnails=True)
+    return met.select(
+        "doc_id",
+        F.col("mime_detected").alias("src_mime"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        MM.sniff_mime_udf(F.col("thumb")).alias("thumb_mime"),
+        F.coalesce("thumb_width", F.lit(-1)).alias("thumb_w"),
+        F.coalesce("thumb_height", F.lit(-1)).alias("thumb_h"),
+    )
+
+
 def _media_video_fp(spark, sf):
     """REAL video frames through the fingerprint path (r4): closed-form
     AVI containers with PER-PIXEL frame content
@@ -1215,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_fp": _media_video_fp,
         "media_video_pairs": _media_video_pairs,
         "media_dims_ext": _media_dims_ext,
+        "media_thumbs": _media_thumbs,
         "media_champions": _media_champions,
         "robots_eval": _robots_eval,
         "caption_guard": _caption_guard,
@@ -2845,6 +2879,38 @@ WHERE substr(md5(c.doc_id::VARCHAR || '|clean'), 1, 8) <
                         ELSE 'image/tiff' END AS mime_detected
             FROM documents
         """,
+        # mirror of sources/mediagen.synthetic_media_thumb_pixels: the
+        # oracle predicts source MIME, parsed dims, thumbnail MIME and
+        # the reference box arithmetic (ImageParse.java:146-176) from
+        # the generator's closed form; Spark must recover all of them
+        # by decoding + re-encoding the REAL payload bytes.
+        "media_thumbs": """
+WITH d AS (
+  SELECT doc_id, doc_id % 53 AS k FROM documents WHERE doc_id % 5 = 0),
+c AS (
+  SELECT doc_id, k, k % 5 AS s,
+         120 + (k * 7) % 120 AS w,
+         120 + (k * 11) % 120 AS h
+  FROM d),
+m AS (
+  SELECT *,
+    CASE s WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+           WHEN 2 THEN 'image/tiff' WHEN 3 THEN 'image/jpeg'
+           ELSE 'image/gif' END AS src_mime
+  FROM c)
+SELECT doc_id, src_mime,
+  w::INTEGER AS width, h::INTEGER AS height,
+  src_mime AS thumb_mime,
+  (CASE WHEN s = 4 THEN w
+        WHEN w < 200 OR h < 200 THEN w
+        WHEN w::DOUBLE / h > 1.0 THEN 200
+        ELSE floor(200 * (w::DOUBLE / h)) END)::INTEGER AS thumb_w,
+  (CASE WHEN s = 4 THEN h
+        WHEN w < 200 OR h < 200 THEN h
+        WHEN w::DOUBLE / h > 1.0 THEN floor(200 / (w::DOUBLE / h))
+        ELSE 200 END)::INTEGER AS thumb_h
+FROM m
+""",
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),

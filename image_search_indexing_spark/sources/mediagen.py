@@ -586,3 +586,60 @@ def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     return d.select(
         "doc_id", fmt.alias("fmt"), F.unhex(hx).alias("payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form FULL-PIXEL payloads across the re-encodable containers
+# (round 5): feeds the media_thumbs source-MIME re-encode gate. Layout
+# (mirrored in the media_thumbs oracle SQL):
+#   k = doc_id % 53 ; s = k % 5 → png | bmp | tiff | jpeg | gif
+#   w = 120 + (k*7) % 120 ; h = 120 + (k*11) % 120   (over the 200-box
+#       only when BOTH dims reach 200 — both resize and no-op paths run)
+#   img[y, x, c] = (x*3 + y*5 + c*17 + k) % 256       (s < 4)
+# gif rows carry a header-only GIF89a logical screen — the reference's
+# passthrough branch never decodes gif pixels (ImageParse.java:131-134).
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_thumb_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, payload binary)`` — REAL decodable images across the
+    four re-encodable containers plus a gif passthrough row (layout
+    comment above). Built Python-side in Arrow batches: png/jpeg bodies
+    are zlib/entropy-coded, which no JVM closed form can express."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def _gen(it):
+        chans = np.arange(3)[None, None, :]
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                k = int(did) % 53
+                s = k % 5
+                w = 120 + (k * 7) % 120
+                h = 120 + (k * 11) % 120
+                if s == 4:
+                    payloads.append(
+                        b"GIF89a"
+                        + bytes([w % 256, w // 256, h % 256, h // 256, 0, 0, 0])
+                        + b";"
+                    )
+                    continue
+                yg, xg = np.mgrid[0:h, 0:w]
+                img = (
+                    (xg[..., None] * 3 + yg[..., None] * 5 + chans * 17 + k) % 256
+                ).astype(np.uint8)
+                enc = (
+                    MM.encode_png,
+                    MM.encode_bmp,
+                    MM.encode_tiff,
+                    MM.encode_jpeg,
+                )[s]
+                payloads.append(enc(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(_gen, "doc_id long, payload binary")
