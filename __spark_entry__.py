@@ -287,6 +287,22 @@ def _dedup_champions(spark, sf):
     )
 
 
+def _leakage_safe_split(spark, sf):
+    """Leakage-safe train/val split (r5): the near-dup GROUP is the unit
+    of assignment — every member of a dup component lands on the same
+    side, so held-out documents can never be near-duplicates of training
+    documents (the in-corpus contamination mode that external-benchmark
+    decontamination misses). Composition: the full MinHash-LSH → Jaccard
+    verify → connected-components pipeline assigns group ids, then a
+    deterministic xxhash64 bucket of the GROUP id (the production hash —
+    oracle-exact via the SQL-generated XXH64) splits 90/10."""
+    from image_search_indexing_spark.operators.dedup import text_dup_groups
+    from image_search_indexing_spark.operators.sampling import group_split
+
+    groups = text_dup_groups(_t(spark, sf, "documents"), threshold=0.5)
+    return group_split(groups, "group_id", val_pct=10)
+
+
 def _near_dup_components(spark, sf):
     """Near-dup GROUP assignment: embedding-LSH pairs → connected
     components (large-star/small-star), singletons keep their own id."""
@@ -1258,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_neardup": _clean_corpus_neardup,
         "clean_corpus_full": _clean_corpus_full,
         "winnow_fp": _winnow_fp,
+        "leakage_safe_split": _leakage_safe_split,
         # Queries that have never had a driver CORRECTNESS row sit INSIDE the
         # driver's 50-row window (it checks the first 50 dict entries);
         # long-stable greens (TPC-H-ish relational + as-of + session rollups,
@@ -2009,6 +2026,26 @@ def _rolling_fp_sql() -> str:
         WITH nrm AS (SELECT doc_id, {norm} AS t FROM documents),
         h AS ({xxh64_cte('nrm', 't', 'fp64', 'doc_id')})
         SELECT doc_id, fp64 FROM h
+    """
+
+
+def _leakage_safe_split_sql() -> str:
+    """Oracle for the leakage-safe split: the recursive-CTE dup groups,
+    then the SQL XXH64 over ``'split|' || group_id`` — hashed once per
+    DISTINCT group and joined back (the same distinct-then-join shape
+    the token-hash oracles use), pmod-bucketed exactly like Spark."""
+    from image_search_indexing_spark.functions.xxh64_sql import xxh64_cte
+
+    return f"""
+        WITH groups AS ({_text_dup_groups_sql()}),
+        gid AS (SELECT DISTINCT group_id FROM groups),
+        gs AS (SELECT group_id, 'split|' || group_id::VARCHAR AS t FROM gid),
+        hx AS ({xxh64_cte('gs', 't', 'h', 'group_id')}),
+        bk AS (SELECT group_id, (((h % 100) + 100) % 100)::INTEGER AS bucket
+               FROM hx)
+        SELECT g.doc_id, g.group_id, b.bucket,
+               CASE WHEN b.bucket < 10 THEN 'val' ELSE 'train' END AS split
+        FROM groups g JOIN bk b ON b.group_id = g.group_id
     """
 
 
@@ -2914,6 +2951,7 @@ FROM m
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),
+        "leakage_safe_split": _leakage_safe_split_sql(),
         "lang_quality": _lang_quality_sql(),
         "gopher_repetition": _gopher_sql(),
         "c4_filters": _c4_sql(),

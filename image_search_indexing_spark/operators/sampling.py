@@ -63,3 +63,31 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(_threshold_hex(rate))).otherwise(thr)
     return df.where(_selector(F.col(key_col), salt) < thr)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val assignment: the GROUP, not the row, is the
+    unit — every member of a (near-)dup group lands on the same side, so
+    held-out rows can never be near-duplicates of training rows (the
+    in-corpus contamination mode that benchmark decontamination against
+    an EXTERNAL eval set cannot catch). Compose with ``text_dup_groups``
+    / ``connected_components`` output: ``group_col`` is the component id.
+
+    Pure projection over the group id (xxhash64 → bucket 0-99, ``val``
+    below ``val_pct``): no shuffle beyond what produced the groups, no
+    RNG state, membership identical at any partitioning and cluster
+    size — at 100 TB the split rides the dedup pipeline's existing
+    group assignment and stays codegen'd JVM-side."""
+    bucket = F.pmod(
+        F.xxhash64(F.concat(F.lit(salt + "|"), F.col(group_col).cast("string"))),
+        F.lit(100),
+    ).cast("int")
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < int(val_pct), F.lit("val")).otherwise(F.lit("train")),
+    )

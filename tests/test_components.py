@@ -332,3 +332,46 @@ def test_simhash_pair_contract_md5_vs_xx(spark):
         gated = simhash_candidate_pairs(docs, max_hamming=6, **kw).collect()
         gset = {(r["id_a"], r["id_b"]) for r in gated}
         assert gset <= set(got) and all(r["hamming"] <= 6 for r in gated)
+
+
+def test_group_split_leakage_safe(spark):
+    """group_split assigns by GROUP, not row: every member of a group
+    gets the same side (the leakage guarantee), buckets are the exact
+    xxhash64 pmod (deterministic, partition-invariant), val fraction
+    tracks val_pct over many groups, and the projection adds no
+    Exchange beyond what produced the groups."""
+    from image_search_indexing_spark.operators.sampling import group_split
+
+    rows = [(i, i % 500) for i in range(5_000)]  # 500 groups of 10
+    groups = spark.createDataFrame(rows, "doc_id long, group_id long")
+    out = group_split(groups, "group_id", val_pct=10).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # group-atomic
+    val_groups = sum(1 for g in by_group.values() if g == {"val"})
+    assert 25 <= val_groups <= 85, val_groups  # ~10% of 500 groups
+    # deterministic + partition-invariant
+    out2 = group_split(
+        spark.createDataFrame(rows, "doc_id long, group_id long").repartition(17),
+        "group_id", val_pct=10,
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == {
+        (r["doc_id"], r["split"]) for r in out2
+    }
+    # bucket is the exact Spark xxhash64 pmod
+    expect = {
+        r["group_id"]: r["b"]
+        for r in groups.select(
+            "group_id",
+            F.pmod(
+                F.xxhash64(F.concat(F.lit("split|"), F.col("group_id").cast("string"))),
+                F.lit(100),
+            ).cast("int").alias("b"),
+        ).collect()
+    }
+    assert all(r["bucket"] == expect[r["group_id"]] for r in out)
+    plan = (
+        group_split(groups, "group_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
