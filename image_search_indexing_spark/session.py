@@ -77,6 +77,13 @@ def get_spark(
         # spans tables explode ~12x: input splits must be sized by OUTPUT
         # work, not compressed input bytes, or a 130MB table becomes 2 tasks
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
+        # zstd + ParallelGC: the fastest measured config on BOTH scaling
+        # legs of the r5 13M-doc knob pair (BENCH/BASELINE.md: 40.8k
+        # urls/s at local[8], 14.4k at local[2], vs 40.6k/13.5k lz4+G1) —
+        # fewer shuffle bytes relieve the memory subsystem that caps
+        # wide-leg throughput; throughput GC suits batch executors
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
