@@ -74,6 +74,15 @@ def main() -> None:
         "binary containers: closed-form payload build is codegen'd on the "
         "scan; ONE ArrowEvalPython (the header-parse codec kernel — Python "
         "by design); digest, gates and thumbnail box all JVM-side after.")
+    cap("media_thumbs", qs["media_thumbs"](spark, sf),
+        "F10 source-MIME re-encode gate: generator + decode/re-encode + "
+        "thumb-sniff are the ONLY Arrow stages (codec kernels, Python by "
+        "design); selection/coalesce stay JVM-side; zero Exchanges — a "
+        "pure per-payload map.")
+    cap("leakage_safe_split", qs["leakage_safe_split"](spark, sf),
+        "group-atomic train/val split: the xxhash64 bucket + split label "
+        "are a codegen'd projection ON TOP of the dedup components plan — "
+        "no additional Exchange beyond the group assignment itself.")
     cap("clean_corpus_neardup", qs["clean_corpus_neardup"](spark, sf),
         "winnow near-dup stage: champion window shuffles SCALARS only "
         "(fingerprint arrays computed post-champion via an id join-back); "
