@@ -303,6 +303,24 @@ def _leakage_safe_split(spark, sf):
     return group_split(groups, "group_id", val_pct=10)
 
 
+def _domain_profile(spark, sf):
+    """Per-source curation profile (r5): the domain-blocklist table —
+    doc counts, total chars, quality mass in integer micro-units,
+    exact-dup multiplicity and language mix per source, with a
+    closed-form keep/block verdict. Runs over the same dup-augmented
+    corpus as ``exact_dup_groups`` (documents ∪ every 50th doc re-keyed)
+    so the dup column and the verdict branch are non-vacuous. ALL
+    aggregates are integer sums, so the oracle is exact by construction
+    (no float-summation luck)."""
+    from image_search_indexing_spark.operators.curation import domain_profile
+
+    d = _t(spark, sf, "documents")
+    dup = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return domain_profile(d.unionByName(dup))
+
+
 def _near_dup_components(spark, sf):
     """Near-dup GROUP assignment: embedding-LSH pairs → connected
     components (large-star/small-star), singletons keep their own id."""
@@ -1275,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_full": _clean_corpus_full,
         "winnow_fp": _winnow_fp,
         "leakage_safe_split": _leakage_safe_split,
+        "domain_profile": _domain_profile,
         # Queries that have never had a driver CORRECTNESS row sit INSIDE the
         # driver's 50-row window (it checks the first 50 dict entries);
         # long-stable greens (TPC-H-ish relational + as-of + session rollups,
@@ -2026,6 +2045,38 @@ def _rolling_fp_sql() -> str:
         WITH nrm AS (SELECT doc_id, {norm} AS t FROM documents),
         h AS ({xxh64_cte('nrm', 't', 'fp64', 'doc_id')})
         SELECT doc_id, fp64 FROM h
+    """
+
+
+def _domain_profile_sql() -> str:
+    """Oracle for the domain-blocklist profile: the dup-augmented corpus
+    as a CTE, per-doc quality from the proven lang_quality SQL converted
+    to integer micro-units, fingerprint multiplicity joined back, and
+    integer-only sums/verdict — exact by construction."""
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, text, lang, source, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 50 = 0),
+        q AS (SELECT doc_id, quality FROM ({_lang_quality_sql('aug')})),
+        d AS (
+          SELECT a.source, a.lang, a.n_chars,
+                 md5(trim(regexp_replace(lower(a.text), '\\s+', ' ', 'g'))) AS fp,
+                 CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
+          FROM aug a JOIN q ON q.doc_id = a.doc_id),
+        m AS (SELECT fp, count(*) AS fp_n FROM d GROUP BY fp),
+        j AS (SELECT d.*, m.fp_n FROM d JOIN m ON m.fp = d.fp)
+        SELECT source,
+          count(*)::BIGINT AS n_docs,
+          sum(n_chars)::BIGINT AS total_chars,
+          sum(q_micro)::BIGINT AS sum_q_micro,
+          sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en_docs,
+          CASE WHEN sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) * 20 > count(*)
+                 OR sum(q_micro) < 300000 * count(*)
+               THEN 'block' ELSE 'keep' END AS verdict
+        FROM j GROUP BY source
     """
 
 
@@ -2952,6 +3003,7 @@ FROM m
         "simhash_pairs_xx": _simhash_pairs_xx_sql(),
         "rolling_fp": _rolling_fp_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
+        "domain_profile": _domain_profile_sql(),
         "lang_quality": _lang_quality_sql(),
         "gopher_repetition": _gopher_sql(),
         "c4_filters": _c4_sql(),

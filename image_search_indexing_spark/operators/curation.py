@@ -46,6 +46,7 @@ __all__ = [
     "pii_redact",
     "decontaminate",
     "curation_signals",
+    "domain_profile",
 ]
 
 
@@ -242,4 +243,64 @@ def decontaminate(
         train_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
         .agg(F.countDistinct("gram").alias("n_overlap"))
+    )
+
+
+def domain_profile(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    block_dup_per_20: int = 1,
+    block_quality_micro: int = 300_000,
+) -> DataFrame:
+    """Per-source curation profile — the domain-blocklist table a
+    web-corpus pipeline builds before sampling (the per-domain cut
+    C4/RefinedWeb-style pipelines apply ahead of any per-document
+    scoring): doc count, total chars, quality mass, exact-duplicate
+    multiplicity and language mix per domain, with a closed-form
+    keep/block verdict.
+
+    ALL-INTEGER aggregates: per-doc quality is converted to micro-units
+    (``round(quality·10⁶)`` as BIGINT) and only SUMS are emitted, so the
+    DuckDB oracle is exact by construction instead of float-summation-
+    lucky; the verdict compares ``sum`` against ``threshold·count`` in
+    integers. A source is blocked when more than 1-in-20 of its docs
+    (``block_dup_per_20``/20) are members of an exact-dup fingerprint
+    group, or its mean quality falls below ``block_quality_micro``.
+
+    Scale shape: two shuffles, both map-side partial — fingerprint
+    multiplicity (groupBy the 32-char fp) joined back, then the
+    per-source agg. The multiplicity side carries (fp, count) only; at
+    100 TB the join is skew-safe because fp groups ARE the dup groups
+    (bounded by the corpus's duplication, and AQE splits a pathological
+    hot fingerprint)."""
+    from ..functions.text import doc_fingerprint, quality_score
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col("lang"),
+        F.col("n_chars"),
+        doc_fingerprint(F.col(text_col)).alias("fp"),
+        F.round(quality_score(F.col(text_col)) * 1_000_000, 0)
+        .cast("long")
+        .alias("q_micro"),
+    )
+    mult = base.groupBy("fp").agg(F.count("*").alias("fp_n"))
+    j = base.join(mult, "fp")
+    dup_docs = F.sum(F.when(F.col("fp_n") > 1, 1).otherwise(0))
+    n_docs = F.count("*")
+    sum_q = F.sum("q_micro")
+    return j.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        sum_q.alias("sum_q_micro"),
+        dup_docs.alias("dup_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_docs"),
+        F.when(
+            (dup_docs * int(20 // max(block_dup_per_20, 1)) > n_docs)
+            | (sum_q < F.lit(int(block_quality_micro)) * n_docs),
+            F.lit("block"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
     )

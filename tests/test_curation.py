@@ -204,3 +204,40 @@ def test_clean_corpus_full_gates_compose(spark):
     # PII docs are redacted, not dropped: some %11 doc survives
     assert any(i % 11 == 0 for i in ids)
     assert all(r["n_pii"] >= 1 for r in rows if r["doc_id"] % 11 == 0)
+
+
+def test_domain_profile_integer_exact(spark):
+    """domain_profile emits ONLY integer aggregates (exactness by
+    construction): counts/sums match a hand computation, dup docs are
+    counted by corpus-wide fingerprint multiplicity (cross-source dups
+    count in BOTH sources), and the verdict blocks on the >1-in-20 dup
+    rule and the quality floor."""
+    from image_search_indexing_spark.operators.curation import domain_profile
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = (
+        [(i, good + f" unique {i}", "en", "a.com", 10) for i in range(20)]
+        # b.com: 3 of 21 docs are copies of one text -> 3*20 > 21 -> block
+        + [(100 + i, good + " b copy", "en", "b.com", 7) for i in range(3)]
+        + [(110 + i, good + f" b unique {i}", "de", "b.com", 7) for i in range(18)]
+        # c.com shares a text with a.com doc? no — keep c clean but LOW quality
+        + [(200 + i, "!!! ??? ,,, ;;; :::", "en", "c.com", 5) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r["source"]: r for r in domain_profile(docs).collect()}
+    assert out["a.com"]["n_docs"] == 20 and out["a.com"]["dup_docs"] == 0
+    assert out["a.com"]["verdict"] == "keep"
+    assert out["a.com"]["total_chars"] == 200
+    assert out["a.com"]["en_docs"] == 20
+    b = out["b.com"]
+    assert b["n_docs"] == 21 and b["dup_docs"] == 3 and b["en_docs"] == 3
+    assert b["verdict"] == "block"  # 3*20 = 60 > 21
+    c = out["c.com"]
+    assert c["n_docs"] == 4 and c["dup_docs"] == 4  # identical junk texts
+    assert c["verdict"] == "block"  # dup rule AND the quality floor
+    assert c["sum_q_micro"] < 300000 * 4
+    # all-integer output schema: no floating point anywhere
+    kinds = {f.dataType.simpleString() for f in domain_profile(docs).schema.fields}
+    assert kinds <= {"string", "bigint"}, kinds
