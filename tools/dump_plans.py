@@ -79,6 +79,10 @@ def main() -> None:
         "thumb-sniff are the ONLY Arrow stages (codec kernels, Python by "
         "design); selection/coalesce stay JVM-side; zero Exchanges — a "
         "pure per-payload map.")
+    cap("domain_profile", qs["domain_profile"](spark, sf),
+        "domain blocklist table: two shuffles, both map-side partial "
+        "(fingerprint multiplicity groupBy + the per-source agg); the "
+        "fp join-back carries (fp, count) only; everything JVM codegen.")
     cap("leakage_safe_split", qs["leakage_safe_split"](spark, sf),
         "group-atomic train/val split: the xxhash64 bucket + split label "
         "are a codegen'd projection ON TOP of the dedup components plan — "
