@@ -1149,6 +1149,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     thumbnail (``utils/ImageParse.java:173-176``): SOI/APP0(JFIF)/DQT×2/
     SOF0/DHT×4/SOS + entropy data + EOI."""
     h, w = int(arr.shape[0]), int(arr.shape[1])
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        # SOF dims are u16 (T.81 §B.2.2) — same bound ImageIO's jpeg
+        # writer enforces; callers mirror the reference's IOException →
+        # null-image path (ImageParse.java:186-189)
+        raise ValueError(f"jpeg dims out of u16 range: {w}x{h}")
     rgb = arr[:, :, :3].astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     planes = [
@@ -1996,9 +2001,16 @@ def thumbnail_bytes(
         "image/bmp": encode_bmp,
         "image/tiff": encode_tiff,
     }.get(mime or "", encode_png)
-    if (tw, th) == (img.shape[1], img.shape[0]):
-        return enc(img), tw, th
-    return enc(resize_nearest(img, tw, th)), tw, th
+    try:
+        if (tw, th) == (img.shape[1], img.shape[0]):
+            return enc(img), tw, th
+        return enc(resize_nearest(img, tw, th)), tw, th
+    except ValueError:
+        # re-encode failure drops the image like the reference's
+        # ImageIO IOException path (ImageParse.java:186-189); u16-dim
+        # jpeg sources can't actually reach the encode_jpeg bound, but
+        # one adversarial payload must never fail a whole Spark task
+        return None, None, None
 
 
 THUMB_SCHEMA = T.StructType(

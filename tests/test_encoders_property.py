@@ -103,3 +103,18 @@ def test_huffman_spec_valid_for_any_frequencies(freqs):
         for b in as_bits:
             if a is not b and len(a) < len(b):
                 assert not b.startswith(a), (a, b)
+
+
+def test_encode_jpeg_u16_dim_guard():
+    """SOF dims are u16 (T.81 §B.2.2): oversize arrays raise a clear
+    ValueError instead of a byte-overflow deep in header assembly, and
+    the thumbnail path maps any encoder ValueError to the reference's
+    IOException → null-image contract rather than failing the task."""
+    import pytest
+
+    from image_search_indexing_spark.operators.multimodal import encode_jpeg
+
+    with pytest.raises(ValueError, match="u16"):
+        encode_jpeg(np.zeros((70000, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="u16"):
+        encode_jpeg(np.zeros((4, 0, 3), np.uint8))
