@@ -290,14 +290,27 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """array<string> of word k-shingles (space-joined), for MinHash/Jaccard."""
-    toks = word_tokens(text)
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """array<string> of word k-shingles over an ALREADY-MATERIALIZED token
+    array column. Callers on a hot path must tokenize in a separate
+    projection and pass the column here: higher-order functions are
+    CodegenFallback, so a token expression inlined into the transform
+    lambda is re-evaluated (full regex tokenize) once PER SHINGLE —
+    measured 15-40x on the shingle stage (guide §1.2 step 2)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
     return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))).otherwise(
         F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """array<string> of word k-shingles (space-joined), for MinHash/Jaccard.
+
+    Convenience form over raw text — fine in per-row signal projections,
+    but see ``word_shingles_from_tokens`` for anything that explodes or
+    joins on the shingles."""
+    return word_shingles_from_tokens(word_tokens(text), k)
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

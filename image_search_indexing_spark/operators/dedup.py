@@ -78,23 +78,27 @@ def minhash_bands(
         .otherwise(F.array().cast("array<string>"))
         .alias("__sh"),
     )
-    with_sig = sh.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(str(i) + "|"), s)))
-                )
-                for i in range(k)
-            ]
-        ).alias("sig"),
-    )
+    # K min-hashes via explode + K codegen'd MIN aggregates instead of K
+    # interpreted array_min(transform(md5)) HOF passes over the shingle
+    # array (higher-order functions are CodegenFallback — the md5 lambda
+    # alone cost ~10 s at sf1.0). Same value by construction: MIN over the
+    # exploded shingles of md5(i‖s) == array_min of the mapped array
+    # (string min is the same lexicographic order), and ``explode_outer``
+    # keeps zero-shingle docs as a NULL row so their per-hash MIN is NULL
+    # exactly like array_min([]). One extra (tiny, 50k-sig-row, map-side
+    # partial) exchange buys the hash work whole-stage codegen.
+    ex = sh.select(F.col(id_col), F.explode_outer(F.col("__sh")).alias("__s"))
+    min_cols = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("__s")))).alias(f"__m{i}")
+        for i in range(k)
+    ]
+    with_sig = ex.groupBy(id_col).agg(*min_cols)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + j] for j in range(rows)])).alias(
-                "band_hash"
-            ),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"__m{b * rows + j}") for j in range(rows)])
+            ).alias("band_hash"),
         )
         for b in range(bands)
     ]
@@ -200,8 +204,15 @@ def text_dup_groups(
     shingle to 8 bytes at the cost of exact-oracle comparability).
     Node ids must be integral (see ``connected_components``)."""
     cand = minhash_candidate_pairs(docs, text_col, id_col, k, bands, shingle_words)
+    # Tokens staged in their own projection (multi-use alias blocks
+    # project-collapse) so the interpreted shingle lambda slices a
+    # materialized array instead of re-tokenizing per shingle — same fix
+    # as minhash_bands; semantics identical to word_shingles(text).
     shd = docs.select(
-        F.col(id_col), F.array_distinct(TX.word_shingles(F.col(text_col), shingle_words)).alias("__sh")
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(TX.word_shingles_from_tokens(F.col("__toks"), shingle_words)).alias("__sh"),
     )
     withsh = (
         cand.join(shd.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")), "id_a")

@@ -77,6 +77,18 @@ def get_spark(
         # spans tables explode ~12x: input splits must be sized by OUTPUT
         # work, not compressed input bytes, or a 130MB table becomes 2 tasks
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
+        # Scale-adaptive scan parallelism (guide §2/§6): floor the split
+        # COUNT at the session's parallelism so a small single-file input
+        # (e.g. a 6 MB table at a larger SF) doesn't serialize the whole
+        # downstream stage on 1-2 scan tasks; the default 4 MB
+        # openCostInBytes floor would defeat minPartitionNum for exactly
+        # those inputs, so it is lowered in tandem. Derived from the
+        # session's core count, not a local[32] constant — on a cluster
+        # shuffle_partitions is overridden and this floor follows it.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_MIN_PARTITION_NUM", str(shuffle_partitions)))
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_OPEN_COST_BYTES", "131072"))
         # zstd + ParallelGC: the fastest measured config on BOTH scaling
         # legs of the r5 13M-doc knob pair (BENCH/BASELINE.md: 40.8k
         # urls/s at local[8], 14.4k at local[2], vs 40.6k/13.5k lz4+G1) —

@@ -367,26 +367,71 @@ def _avi_container_hex(w, h, nf, upf, frame_body_hex, max_frames: int):
                     F.lit(_FCC["LIST"]), _le8(F.lit(192)), hdrl, movi)
 
 
+def _le(v: int, n: int) -> bytes:
+    return int(v).to_bytes(n, "little")
+
+
+def _avi_container_bytes(w: int, h: int, nf: int, upf: int, frame_body) -> bytes:
+    """Byte twin of ``_avi_container_hex`` (same fixed-shape header tree,
+    same spec constants) for the vectorized Python generators —
+    ``frame_body(f)`` returns frame f's pixel bytes (length w·h·3)."""
+    fs = w * h * 3
+    avih = (
+        _le(upf, 4) + b"\x00" * 12 + _le(nf, 4) + b"\x00" * 4
+        + _le(1, 4) + b"\x00" * 4 + _le(w, 4) + _le(h, 4) + b"\x00" * 16
+    )
+    strh = (
+        b"vidsDIB " + b"\x00" * 8 + b"\x00" * 4
+        + _le(upf, 4) + _le(1_000_000, 4) + b"\x00" * 4 + _le(nf, 4)
+        + _le(fs, 4) + b"\xff\xff\xff\xff" + b"\x00" * 4
+        + b"\x00" * 4 + _le(w, 2) + _le(h, 2)
+    )
+    strf = (
+        _le(40, 4) + _le(w, 4) + _le(h, 4) + b"\x01\x00\x18\x00" + b"\x00" * 4
+        + _le(fs, 4) + b"\x00" * 16
+    )
+    strl = b"strlstrh" + _le(56, 4) + strh + b"strf" + _le(40, 4) + strf
+    hdrl = b"hdrlavih" + _le(56, 4) + avih + b"LIST" + _le(116, 4) + strl
+    movi_body = 4 + nf * (fs + 8)
+    movi = b"LIST" + _le(movi_body, 4) + b"movi" + b"".join(
+        b"00db" + _le(fs, 4) + frame_body(f) for f in range(nf)
+    )
+    riff_size = movi_body + 8 + 200 + 4
+    return b"RIFF" + _le(riff_size, 4) + b"AVI LIST" + _le(192, 4) + hdrl + movi
+
+
 def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, payload binary)`` — real AVI containers, closed-form
-    from ``doc_id`` (see the layout comment above)."""
+    from ``doc_id`` (see the layout comment above). Built Python-side in
+    Arrow batches like ``synthetic_media_thumb_pixels``: the former
+    per-pixel ``format_string``-in-``transform`` hex build is a
+    CodegenFallback HOF that re-evaluates the closed form per element
+    (~75 µs/pixel measured at sf1.0 — generation dominated the whole
+    media query); byte-building in numpy/bytes is ~1000x cheaper and the
+    emitted bytes are IDENTICAL (pinned by tests)."""
+    import pandas as pd
+
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    did = F.col("doc_id")
-    w = (F.lit(8) + (did % 3) * 4).cast("int")
-    h = (F.lit(8) + (did % 2) * 8).cast("int")
-    nf = (F.lit(1) + did % 4).cast("int")
-    upf = (F.lit(40000) + (did % 3) * 20000).cast("int")
 
-    def frame_body(f: int):
-        pix = F.format_string(  # DIB byte order is B, G, R
-            "%02X%02X%02X",
-            (did * 3 + f * 29) % 256, (did * 11 + f * 17) % 256,
-            (did * 7 + f * 13) % 256,
-        )
-        return F.repeat(pix, w * h)
+    def _gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + (did % 3) * 4, 8 + (did % 2) * 8
+                nf, upf = 1 + did % 4, 40000 + (did % 3) * 20000
 
-    hx = _avi_container_hex(w, h, nf, upf, frame_body, max_frames=4)
-    return d.select("doc_id", F.unhex(hx).alias("payload"))
+                def body(f: int) -> bytes:
+                    pix = bytes(
+                        ((did * 3 + f * 29) % 256, (did * 11 + f * 17) % 256,
+                         (did * 7 + f * 13) % 256)
+                    )
+                    return pix * (w * h)
+
+                payloads.append(_avi_container_bytes(w, h, nf, upf, body))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(_gen, "doc_id long, payload binary")
 
 
 # ---------------------------------------------------------------------------
@@ -426,68 +471,85 @@ def synthetic_media_avi_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
       G = (7kk + 13x + 3y + 23f + 2x²) % 256
       R = (11kk + 2x + 7y + 29f + 3y² + v·[f = 0]) % 256
     """
+    import numpy as np
+    import pandas as pd
+
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    kk = F.col("doc_id") % 23
-    v = F.col("doc_id") % 2
-    w = (F.lit(8) + (kk % 3) * 4).cast("int")
-    h = (F.lit(8) + (kk % 2) * 8).cast("int")
-    nf = (F.lit(3) + kk % 2).cast("int")
-    upf = F.lit(40000).cast("int")
 
-    def frame_body(f: int):
-        def pix_hex(x, y):
-            return F.format_string(
-                "%02X%02X%02X",  # DIB byte order is B, G, R
-                ((kk * 3 + x * 5 + y * 11 + 17 * f + x * y) % 256).cast("int"),
-                ((kk * 7 + x * 13 + y * 3 + 23 * f + x * x * 2) % 256).cast("int"),
-                ((kk * 11 + x * 2 + y * 7 + 29 * f + y * y * 3
-                  + (v if f == 0 else F.lit(0))) % 256).cast("int"),
-            )
+    def _payload(kk: int, v: int) -> bytes:
+        w, h = 8 + (kk % 3) * 4, 8 + (kk % 2) * 8
+        nf = 3 + kk % 2
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
 
-        return F.array_join(
-            F.transform(
-                F.sequence(h - 1, F.lit(0), F.lit(-1)),  # bottom-up rows
-                lambda y: F.array_join(
-                    F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix_hex(x, y)), ""
-                ),
-            ),
-            "",
-        )
+        def body(f: int) -> bytes:
+            b = (kk * 3 + x * 5 + y * 11 + 17 * f + x * y) % 256
+            g = (kk * 7 + x * 13 + y * 3 + 23 * f + x * x * 2) % 256
+            r = (kk * 11 + x * 2 + y * 7 + 29 * f + y * y * 3
+                 + (v if f == 0 else 0)) % 256
+            px = np.stack(np.broadcast_arrays(b, g, r), axis=-1).astype(np.uint8)
+            return px[::-1].tobytes()  # bottom-up rows
 
-    hx = _avi_container_hex(w, h, nf, upf, frame_body, max_frames=4)
-    return d.select("doc_id", F.unhex(hx).alias("payload"))
+        return _avi_container_bytes(w, h, nf, 40000, body)
+
+    def _gen(it):
+        memo: dict[tuple[int, int], bytes] = {}  # 46 (kk, v) content classes
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                key = (int(did) % 23, int(did) % 2)
+                p = memo.get(key)
+                if p is None:
+                    p = memo[key] = _payload(*key)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def synthetic_media_bmp_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, payload binary)`` — real 24-bit BMPs, every pixel a
     closed form of ``doc_id`` (see the layout comment above). Built
-    JVM-side: nested ``transform`` over the (bottom-up) row/column grid
-    concatenating per-pixel BGR hex, so payload generation itself stays
-    codegen'd and scales with the corpus."""
+    Python-side in Arrow batches (like ``synthetic_media_thumb_pixels``):
+    the former per-pixel ``format_string``-in-``transform`` hex build is
+    a CodegenFallback HOF re-evaluating the closed form per element
+    (measured ~68 s for 50k images at sf1.0 — generation dominated the
+    whole pHash query); numpy builds the identical bytes ~1000x cheaper
+    (pinned byte-equal by tests), and the 123 (k, v) content classes are
+    memoized per task."""
+    import numpy as np
+    import pandas as pd
+
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    k = F.col("doc_id") % 41
-    v = F.col("doc_id") % 3
-    w = (F.lit(16) + (k % 5) * 4).cast("int")
-    h = (F.lit(16) + (k % 3) * 8).cast("int")
 
-    def pix_hex(x, y):
-        return F.format_string(
-            "%02X%02X%02X",
-            ((k * 3 + x * 5 + y * 11) % 256).cast("int"),
-            ((k * 7 + x * 13 + y * 3) % 256).cast("int"),
-            ((k * 11 + x * 2 + y * 7 + v) % 256).cast("int"),
+    def _payload(k: int, v: int) -> bytes:
+        w, h = 16 + (k % 5) * 4, 16 + (k % 3) * 8
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        b = (k * 3 + x * 5 + y * 11) % 256
+        g = (k * 7 + x * 13 + y * 3) % 256
+        r = (k * 11 + x * 2 + y * 7 + v) % 256
+        px = np.stack(np.broadcast_arrays(b, g, r), axis=-1).astype(np.uint8)
+        header = (
+            bytes.fromhex("424D46000000000000003600000028000000")
+            + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+            + bytes.fromhex("01001800") + b"\x00" * 24
         )
+        return header + px[::-1].tobytes()  # bottom-up row order
 
-    body = F.array_join(
-        F.transform(
-            F.sequence(h - 1, F.lit(0), F.lit(-1)),  # bottom-up row order
-            lambda y: F.array_join(
-                F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix_hex(x, y)), ""
-            ),
-        ),
-        "",
-    )
-    return d.select("doc_id", F.unhex(F.concat(bmp_hex(w, h), body)).alias("payload"))
+    def _gen(it):
+        memo: dict[tuple[int, int], bytes] = {}
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                key = (int(did) % 41, int(did) % 3)
+                p = memo.get(key)
+                if p is None:
+                    p = memo[key] = _payload(*key)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(_gen, "doc_id long, payload binary")
 
 
 # ---------------------------------------------------------------------------
@@ -526,23 +588,43 @@ def wav_header_hex(n):
 
 def synthetic_media_wav_samples(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(doc_id, payload binary)`` — real PCM WAV files, every sample a
-    closed form of ``doc_id`` (see the layout comment above)."""
+    closed form of ``doc_id`` (see the layout comment above). Built
+    Python-side in Arrow batches (same rationale as
+    ``synthetic_media_bmp_pixels``: the per-sample hex HOF re-evaluated
+    the closed form per element); bytes identical, 58 (kk, v) content
+    classes memoized per task."""
+    import numpy as np
+    import pandas as pd
+
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    kk = F.col("doc_id") % 29
-    v = F.col("doc_id") % 2
     n = 416
-
-    def sample_hex(g):
-        base = ((g + kk * 3) * (g + kk * 3)) % 251 + (g * (kk % 13 + 1)) % 31 * 3
-        pert = F.when((v == 1) & (g < 64) & (g % 16 == 0), 1).otherwise(0)
-        return F.format_string("%02X", ((base + pert) % 256).cast("int"))
-
-    body = F.array_join(
-        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), sample_hex), ""
+    header = (
+        b"RIFF" + _le(n + 36, 4) + b"WAVE"
+        + b"fmt " + _le(16, 4)
+        + b"\x01\x00\x01\x00" + _le(8000, 4)
+        + _le(8000, 4) + b"\x01\x00\x08\x00"
+        + b"data" + _le(n, 4)
     )
-    return d.select(
-        "doc_id", F.unhex(F.concat(wav_header_hex(n), body)).alias("payload")
-    )
+
+    def _payload(kk: int, v: int) -> bytes:
+        g = np.arange(n, dtype=np.int64)
+        base = ((g + kk * 3) ** 2) % 251 + (g * (kk % 13 + 1)) % 31 * 3
+        pert = ((v == 1) & (g < 64) & (g % 16 == 0)).astype(np.int64)
+        return header + ((base + pert) % 256).astype(np.uint8).tobytes()
+
+    def _gen(it):
+        memo: dict[tuple[int, int], bytes] = {}
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                key = (int(did) % 29, int(did) % 2)
+                p = memo.get(key)
+                if p is None:
+                    p = memo[key] = _payload(*key)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
