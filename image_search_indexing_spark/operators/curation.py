@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles, word_tokens
+from ..session import spread
 
 __all__ = [
     "repetition_signals",
@@ -259,7 +260,7 @@ def decontaminate(
         .select(F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("gram"))
         .distinct()
     )
-    train_grams = train.select(
+    train_grams = spread(train.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col), F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("gram")
@@ -322,7 +323,12 @@ def domain_profile(
         dup_docs.alias("dup_docs"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_docs"),
         F.when(
-            (dup_docs * int(20 // max(block_dup_per_20, 1)) > n_docs)
+            # exact integer form of dup_docs/n_docs > block_dup_per_20/20
+            # for ANY parameter value (the old int(20 // p) multiplier
+            # drifted the threshold when p does not divide 20, e.g. p=3
+            # blocked above 1/6 instead of 3/20); identical verdicts for
+            # every divisor of 20, including the default p=1
+            (dup_docs * 20 > n_docs * int(max(block_dup_per_20, 1)))
             | (sum_q < F.lit(int(block_quality_micro)) * n_docs),
             F.lit("block"),
         )

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..session import spread
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,7 +66,12 @@ def minhash_bands(
     # shingle expression into all K min-hash expressions makes Catalyst
     # evaluate it K times per row (and the CASE in word_shingles duplicates
     # the token transform); staged projections keep each computed once
-    toks = docs.select(F.col(id_col), TX.word_tokens(F.col(text_col)).alias("__toks"))
+    # spread() first: the tokenize/shingle/md5 chain is the expensive
+    # stage and must not inherit a 1-row-group scan's single straggler
+    # task (see session.spread); only (id, text) is shuffled
+    toks = spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("__toks")
+    )
     n = F.size("__toks")
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_words - 1), F.lit(0)))
     sh = toks.select(
@@ -208,7 +214,7 @@ def text_dup_groups(
     # project-collapse) so the interpreted shingle lambda slices a
     # materialized array instead of re-tokenizing per shingle — same fix
     # as minhash_bands; semantics identical to word_shingles(text).
-    shd = docs.select(
+    shd = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), TX.word_tokens(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col),
@@ -268,7 +274,7 @@ def simhash_frame(
     ``simhash64`` and provably equal to it for ``xxhash64``/63 bits
     (pinned by ``test_simhash_xx_frame_equals_hof``).
     """
-    toks = docs.select(
+    toks = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(TX.word_tokens(F.col(text_col))).alias("__t")
     )
     if token_hash == "md5":

@@ -52,13 +52,14 @@ What is REAL as well (stdlib-only, no imaging library):
   integer Walsh-Hadamard filterbank) — both exactly reproducible
   relationally, feeding the visual/audio near-dup pair operators.
 
-What is STUBBED (this container has no PIL/torchaudio/pyav): WEBP pixel
-decode (header dims still real), mp3/ogg audio SAMPLE decode (mp3
-duration/rate metadata is real), video frame PIXEL decode for
-inter-frame codecs (h264/vp9 — AVI/DIB and AVI/MJPEG are real, MP4
-keeps a real timeline with placeholder frame tags). Those kernels are
-deterministic stand-ins behind the exact Arrow batch shape a real
-decoder would use — swap the body for the library call and nothing
+What is STUBBED (this container has no PIL/torchaudio/pyav): LOSSY-VP8
+WebP pixel decode (lossless VP8L decodes fully for real — ``decode_webp``
+since round 5 — and header dims are real for both flavors), mp3/ogg audio
+SAMPLE decode (mp3 duration/rate metadata is real), video frame PIXEL
+decode for inter-frame codecs (h264/vp9 — AVI/DIB and AVI/MJPEG are
+real, MP4 keeps a real timeline with placeholder frame tags). Those
+kernels are deterministic stand-ins behind the exact Arrow batch shape a
+real decoder would use — swap the body for the library call and nothing
 else changes.
 """
 
@@ -1782,11 +1783,16 @@ def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
     if mode == 12:  # ClampAddSubtractFull
         v = [min(max(lc[i] + tc[i] - cc[i], 0), 255) for i in range(4)]
         return (v[0] << 24) | (v[1] << 16) | (v[2] << 8) | v[3]
-    # mode 13: ClampAddSubtractHalf
+    # mode 13: ClampAddSubtractHalf. The (a - c) / 2 term TRUNCATES TOWARD
+    # ZERO (libwebp's C integer division, RFC 9649 §3.4) — Python's floor
+    # division would decode odd negative deltas 1 too low and the error
+    # propagates through later predictions.
     v = []
     for i in range(4):
         a = (lc[i] + tc[i]) >> 1
-        v.append(min(max(a + (a - cc[i]) // 2, 0), 255))
+        d = a - cc[i]
+        half = -((-d) // 2) if d < 0 else d // 2
+        v.append(min(max(a + half, 0), 255))
     return (v[0] << 24) | (v[1] << 16) | (v[2] << 8) | v[3]
 
 

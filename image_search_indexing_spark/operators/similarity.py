@@ -14,18 +14,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import xxhash64
+from ..session import spread
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two array<double> columns.
 
     With ``dim`` given, the fold is UNROLLED into a flat left-associated
-    sum — ``((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...`` — which whole-stage
-    codegen compiles, where the ``aggregate``/``zip_with`` higher-order
-    form is CodegenFallback (interpreted per element, ~100x slower in a
-    pair-join hot path; guide §4.1: prefer built-ins the JVM compiles).
-    The two forms evaluate the IDENTICAL IEEE addition sequence, so
-    results are bit-for-bit equal — threshold/tie decisions cannot move.
+    sum — ``((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...`` — bit-for-bit equal to
+    the HOF fold (identical IEEE addition sequence). Measured caveat that
+    decides which form to use: the ``aggregate``/``zip_with`` higher-order
+    form is CodegenFallback (interpreted per element), but the unrolled
+    64-term expression inflates whole-stage-codegen past the JIT's ~8 KB
+    method limit, so in practice it ran SLOWER in every per-pair hot path
+    tried this round (falls to the bytecode interpreter + seconds of
+    compile). Per-pair kernels at volume belong in a vectorized Arrow
+    batch (see ``near_dup_pairs`` / ``cosine_topk``); the HOF fold is fine
+    for per-row signature/centroid work. The unrolled form is kept for
+    small-dim cases where both costs are negligible.
     """
     if dim is not None:
         acc = F.lit(0.0)
@@ -128,7 +134,9 @@ def cosine_topk(
                 )
 
         id_t = dict((f.name, f.dataType.simpleString()) for f in queries.schema.fields)[id_col]
-        scored = c.mapInPandas(_score, f"query_id {id_t}, neighbor_id {id_t}, sim double")
+        scored = spread(c).mapInPandas(
+            _score, f"query_id {id_t}, neighbor_id {id_t}, sim double"
+        )
     else:
         scored = c.crossJoin(F.broadcast(q)).withColumn(
             "sim", cosine(F.col("qv"), F.col("cv"))
@@ -151,13 +159,17 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
         [1.0 if xxhash64(f"{seed}:{p}:{i}") % 2 == 0 else -1.0 for i in range(dim)]
         for p in range(n_planes)
     ]
+    # Deliberately the HOF fold, NOT an unrolled sum: the signature runs
+    # once per ROW (n_planes·dim work), so interpreted evaluation is cheap
+    # here, while an unrolled n_planes×dim expression (384+ terms at
+    # n_planes=12) bloats codegen past the JIT's method limits and its
+    # compile time dominated small queries (measured: ann_topk_lsh 4.3 s
+    # unrolled vs 1.4 s HOF in-suite). Unrolling pays only in per-PAIR
+    # hot paths (see ``dot``).
     sig = F.lit(0).cast("long")
     for p, coeffs in enumerate(planes):
-        # unrolled left fold — identical addition order to the previous
-        # aggregate(zip_with(...)) form, but whole-stage-codegen'd
-        s = F.lit(0.0)
-        for i, c in enumerate(coeffs):
-            s = s + vec[i] * F.lit(c)
+        arr = F.array(*[F.lit(c) for c in coeffs])
+        s = dot(vec, arr)
         sig = sig.bitwiseOR(F.when(s >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)))
     return sig
 
@@ -199,18 +211,17 @@ def train_ivf_centroids(
 
 def _nearest_centroid_ids(vec: Column, cents, nprobe: int) -> Column:
     """array<int> of the nprobe nearest centroid ids (ties → lower id)."""
-    def _sqdist(cent) -> Column:
-        # unrolled left fold, same addition order as the previous
-        # aggregate(zip_with(...)) — bit-identical, codegen'd
-        acc = F.lit(0.0)
-        for j, c in enumerate(cent):
-            d = vec[j] - F.lit(float(c))
-            acc = acc + d * d
-        return acc
-
     scored = F.array(
         *[
-            F.struct(_sqdist(cents[i]).alias("dist"), F.lit(i).alias("cid"))
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(float(c)) for c in cents[i]]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
             for i in range(len(cents))
         ]
     )
@@ -244,20 +255,14 @@ def ivf_topk(
     ``cid`` and no executor holds the full query set.
     """
     cents = train_ivf_centroids(corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col)
-    c = corpus.select(
+    c = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("cid", _nearest_centroid_ids(F.col("cv"), cents, 1)[0]).withColumn(
-        "cn", l2norm(F.col("cv"), dim)
-    )
+    )).withColumn("cid", _nearest_centroid_ids(F.col("cv"), cents, 1)[0])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("cid", F.explode(_nearest_centroid_ids(F.col("qv"), cents, nprobe))).withColumn(
-        "qn", l2norm(F.col("qv"), dim)
-    )
+    ).withColumn("cid", F.explode(_nearest_centroid_ids(F.col("qv"), cents, nprobe)))
     qside = F.broadcast(q) if broadcast_queries else q
-    scored = c.join(qside, "cid").withColumn(
-        "sim", dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
-    )
+    scored = c.join(qside, "cid").withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -301,9 +306,9 @@ def near_dup_pairs(
     import pandas as pd
 
     sig = hyperplane_signature(F.col("v"), dim, n_planes)
-    v = emb.select(
+    v = spread(emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("bucket", sig)
+    )).withColumn("bucket", sig)
     id_type = dict((f.name, f.dataType.simpleString()) for f in emb.schema.fields)[id_col]
     thr = float(threshold)
 
@@ -350,18 +355,22 @@ def ann_topk_lsh(
     the signature for table-sized query sets (query ≫ broadcast threshold).
     """
     sig = lambda col: hyperplane_signature(col, dim, n_planes)
+    # Per-pair HOF cosine kept on purpose: the banding means only a few
+    # thousand pairs survive the bucket join, so interpreted evaluation is
+    # cheap, while the unrolled 64-term form was measured SLOWER in-suite
+    # (codegen bloat/compile; same lesson as hyperplane_signature). The
+    # one real cost was the 1-row-group corpus scan serializing the
+    # signature stage — spread() fixes that.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", sig(F.col("qv"))).withColumn("qn", l2norm(F.col("qv"), dim))
-    c = corpus.select(
+    ).withColumn("bucket", sig(F.col("qv")))
+    c = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", sig(F.col("cv"))).withColumn("cn", l2norm(F.col("cv"), dim))
+    )).withColumn("bucket", sig(F.col("cv")))
     qside = F.broadcast(q) if broadcast_queries else q
-    scored = c.join(qside, "bucket").withColumn(
-        "sim", dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
-    )
+    scored = c.join(qside, "bucket").withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

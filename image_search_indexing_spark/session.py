@@ -77,18 +77,14 @@ def get_spark(
         # spans tables explode ~12x: input splits must be sized by OUTPUT
         # work, not compressed input bytes, or a 130MB table becomes 2 tasks
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
-        # Scale-adaptive scan parallelism (guide §2/§6): floor the split
-        # COUNT at the session's parallelism so a small single-file input
-        # (e.g. a 6 MB table at a larger SF) doesn't serialize the whole
-        # downstream stage on 1-2 scan tasks; the default 4 MB
-        # openCostInBytes floor would defeat minPartitionNum for exactly
-        # those inputs, so it is lowered in tandem. Derived from the
-        # session's core count, not a local[32] constant — on a cluster
-        # shuffle_partitions is overridden and this floor follows it.
-        .config("spark.sql.files.minPartitionNum",
-                os.environ.get("SPARK_MIN_PARTITION_NUM", str(shuffle_partitions)))
-        .config("spark.sql.files.openCostInBytes",
-                os.environ.get("SPARK_OPEN_COST_BYTES", "131072"))
+        # NOTE on scan parallelism: single-row-group parquet inputs cannot
+        # be split past 1 effective task no matter how splits are sized
+        # (splits beyond the row-group start read nothing), so the fix for
+        # CPU-heavy stages over small tables is an explicit narrow
+        # repartition in the operator (``spread`` below) — NOT a session-
+        # wide minPartitionNum floor, which was measured to cost 0.1-0.5 s
+        # per multi-row-group relational query in empty-split overhead
+        # while fixing nothing (the straggler stayed).
         # zstd + ParallelGC: the fastest measured config on BOTH scaling
         # legs of the r5 13M-doc knob pair (BENCH/BASELINE.md: 40.8k
         # urls/s at local[8], 14.4k at local[2], vs 40.6k/13.5k lz4+G1) —
@@ -102,3 +98,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, parts: int | None = None):
+    """Round-robin repartition before CPU-heavy per-row work.
+
+    Single-row-group parquet files defeat byte-range splitting: Spark
+    plans N splits, but only the split containing the row-group start
+    reads any rows, so the whole downstream stage runs as ONE straggler
+    task (observed at sf1.0: med 17 ms / max 11.8 s task times on a
+    32-split scan of a 1-row-group table). Guide §2.5's unsplittable-
+    input remedy: repartition right after the read. Callers apply this
+    to the NARROW projection feeding tokenize/hash/decode work, so the
+    shuffled bytes are the minimal payload and the expensive stage runs
+    at full width. Sized from the session's parallelism, never a local
+    constant; the exchange is row-count-bounded and tiny next to the
+    per-row work it parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(parts or sc.defaultParallelism)

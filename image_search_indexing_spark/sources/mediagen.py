@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread
+
 SVG_PREFIX = '<svg xmlns="http://www.w3.org/2000/svg" width="'
 
 
@@ -270,7 +272,7 @@ def synthetic_media_dims_ext(docs: DataFrame, id_col: str = "doc_id") -> DataFra
     dir entry is a byte). The WebP rows are complete VP8L files
     (``webp_hex``) — the REAL decoder, not just the dims parser, accepts
     them."""
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
     s = F.col("doc_id") % 4
     w = (F.lit(16) + F.col("doc_id") % 300).cast("int")
     h = (F.lit(16) + F.col("doc_id") % 200).cast("int")
@@ -411,7 +413,7 @@ def synthetic_media_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     emitted bytes are IDENTICAL (pinned by tests)."""
     import pandas as pd
 
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def _gen(it):
         for pdf in it:
@@ -474,7 +476,7 @@ def synthetic_media_avi_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
     import numpy as np
     import pandas as pd
 
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def _payload(kk: int, v: int) -> bytes:
         w, h = 8 + (kk % 3) * 4, 8 + (kk % 2) * 8
@@ -520,7 +522,7 @@ def synthetic_media_bmp_pixels(docs: DataFrame, id_col: str = "doc_id") -> DataF
     import numpy as np
     import pandas as pd
 
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def _payload(k: int, v: int) -> bytes:
         w, h = 16 + (k % 5) * 4, 16 + (k % 3) * 8
@@ -596,7 +598,7 @@ def synthetic_media_wav_samples(docs: DataFrame, id_col: str = "doc_id") -> Data
     import numpy as np
     import pandas as pd
 
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
     n = 416
     header = (
         b"RIFF" + _le(n + 36, 4) + b"WAVE"
@@ -632,7 +634,7 @@ def synthetic_media_binary(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     closed-form from ``doc_id`` (see classes above). ``payload`` is
     ``unhex`` of the constructed hex, so the downstream parser reads
     genuine non-ASCII bytes (PNG magic ``\\x89``, 0x00 length fields, …)."""
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
     k = F.col("doc_id") % 97
     s = k % 11
     fmt_rot = k % 4
@@ -693,7 +695,7 @@ def synthetic_media_thumb_pixels(docs: DataFrame, id_col: str = "doc_id") -> Dat
 
     from ..operators import multimodal as MM
 
-    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    d = spread(docs.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def _gen(it):
         chans = np.arange(3)[None, None, :]

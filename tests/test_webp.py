@@ -305,7 +305,10 @@ def _spec_predict(mode, left, top, tl, tr):
     out = []
     for i in range(4):
         a = (lc[i] + tc[i]) // 2
-        out.append(min(max(a + (a - cc[i]) // 2, 0), 255))
+        # (a - c) / 2 truncates toward zero (libwebp C division), NOT floor
+        d = a - cc[i]
+        half = -((-d) // 2) if d < 0 else d // 2
+        out.append(min(max(a + half, 0), 255))
     return pack(out)
 
 
@@ -491,6 +494,24 @@ def test_vp8l_predictor_transform_all_modes():
             grad[y, x] = (x * 16, y * 16 % 256, (x + y) * 8 % 256)
     got = decode_webp(encode_vp8l_predictor(grad, bits=4, mode_of=lambda bx, by: 12))
     assert got is not None and np.array_equal(got, grad)
+
+
+def test_vp8l_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf with ODD NEGATIVE (avg - topleft) deltas:
+    C division truncates toward zero where Python's // floors, so e.g.
+    avg=10, tl=13 must predict 10 + trunc(-3/2) = 9, not 8 — and because
+    reconstructed pixels feed later predictions, a floor-division decoder
+    corrupts everything right of the first odd negative delta."""
+    from image_search_indexing_spark.operators.multimodal import decode_webp
+
+    # values chosen so (left+top)//2 - tl is odd and negative at many
+    # pixels: descending rows against an ascending first column
+    img = np.zeros((12, 13, 3), np.uint8)
+    for y in range(12):
+        for x in range(13):
+            img[y, x] = ((250 - 7 * x - 3 * y) % 256, (5 + 11 * x) % 256, (200 - 5 * y) % 256)
+    got = decode_webp(encode_vp8l_predictor(img, bits=4, mode_of=lambda bx, by: 13))
+    assert got is not None and np.array_equal(got, img)
 
 
 def test_vp8l_meta_prefix_groups():
