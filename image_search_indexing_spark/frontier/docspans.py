@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread
+
 N_HOSTS = 40
 POOL = 500
 
@@ -42,8 +44,11 @@ def _host(hid: Column) -> Column:
 def spans_from_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id bigint, text, ...) → (doc_id string, spans array)."""
     # rename the numeric id first: the output re-uses the name `doc_id` for
-    # the string form, and Catalyst projection collapse must not see both
-    docs = docs.select(F.col("doc_id").alias("__did"), "text")
+    # the string form, and Catalyst projection collapse must not see both.
+    # spread(): downstream consumers broadcast the meta side, so the whole
+    # extract/parse pipeline would otherwise inherit the 1-row-group
+    # documents scan's single task (see session.spread)
+    docs = spread(docs.select(F.col("doc_id").alias("__did"), "text"))
     did = F.col("__did")
     n_refs = (did % 4 + 1).cast("int")
 
@@ -88,8 +93,10 @@ def interleaved_from_documents(docs: DataFrame) -> DataFrame:
     closed-form on doc_id, the flagship derives them together and feeds
     the pre-joined frame to ``extract_refs(combined, meta=None)``."""
     # same arithmetic as spans_from_documents + docmeta_from_documents,
-    # inlined into one projection; Catalyst collapses it onto one scan
-    docs2 = docs.select(F.col("doc_id").alias("__did"), "text")
+    # inlined into one projection; Catalyst collapses it onto one scan.
+    # spread() for the same reason as spans_from_documents: everything up
+    # to the first exchange otherwise runs on the 1-row-group scan's task
+    docs2 = spread(docs.select(F.col("doc_id").alias("__did"), "text"))
     did = F.col("__did")
     hid = did % N_HOSTS
     base = F.concat(
